@@ -1,0 +1,19 @@
+"""Test harness: force an 8-virtual-device CPU platform and float64.
+
+Multi-chip sharding is validated on a host-emulated mesh
+(xla_force_host_platform_device_count); correctness tests run in double
+precision to match the reference's tolerance (reference:
+src/Engine/LanczosDriver.h:29-33, RealType = double).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
