@@ -1,0 +1,168 @@
+"""Lattice geometry: term-wise coupling tensors.
+
+Replaces PsimagLite::Geometry as used by the reference
+(reference: src/lanczos.cpp:79-90 builds Geometry(io); models query
+``geometry(i, orb1, j, orb2, term)`` e.g. at
+src/Models/HubbardOneOrbital/HubbardHelper.h:63).
+
+Each Hamiltonian term carries a coupling tensor c[i, j, orb1, orb2]
+assembled host-side as dense numpy (sites are tiny, <= ~24); models
+index it to emit their sparse term lists.
+
+Supported kinds: chain, ladder (leg-major site order: leg index fastest,
+x-neighbors i<->i+legs, rungs i<->i+1), longrange/raw connector matrix,
+star.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Geometry:
+    def __init__(self, inp):
+        self.nsites = inp.integer("TotalNumberOfSites")
+        self.nterms = inp.integer("NumberOfTerms", default=1)
+        self._kinds = []
+        self._dofs = []
+        self._couplings = []  # list of (n, n, dof, dof) arrays
+        self.ladder_legs = inp.integer("LadderLeg", default=2)
+        periodic_x = bool(inp.integer("IsPeriodicX", default=0))
+        periodic_y = bool(inp.integer("IsPeriodicY", default=0))
+
+        for t in range(self.nterms):
+            kind = inp.string("GeometryKind", occurrence=t)
+            dof = inp.integer("DegreesOfFreedom", default=1, occurrence=t)
+            options = inp.string("GeometryOptions", default="ConstantValues",
+                                 occurrence=t)
+            self._kinds.append(kind)
+            self._dofs.append(dof)
+            self._couplings.append(
+                self._build_term(inp, t, kind, dof, options,
+                                 periodic_x, periodic_y))
+
+    # -- construction ------------------------------------------------------
+
+    def _connector_values(self, inp, t, dof, ndirs):
+        """Connector payload for term t: for each direction a (dof, dof)
+        matrix (scalar case is a 1x1 matrix)."""
+        if dof == 1:
+            vec = inp.vector("Connectors", occurrence=t)
+            if len(vec) < ndirs:
+                vec = list(vec) + [vec[-1]] * (ndirs - len(vec))
+            return [np.array([[v]], dtype=np.float64) for v in vec]
+        mat = np.array(inp.matrix("Connectors", occurrence=t),
+                       dtype=np.float64)
+        return [mat] * ndirs
+
+    def _build_term(self, inp, t, kind, dof, options, px, py):
+        n = self.nsites
+        c = np.zeros((n, n, dof, dof), dtype=np.float64)
+
+        def add_bond(i, j, mat):
+            c[i, j] += mat
+            c[j, i] += mat.T
+
+        kl = kind.lower()
+        if kl == "chain":
+            mats = self._connector_values(inp, t, dof, 1)
+            for i in range(n - 1):
+                add_bond(i, i + 1, mats[0])
+            if px and n > 2:
+                add_bond(n - 1, 0, mats[0])
+        elif kl in ("ladder", "ladderx"):
+            legs = self.ladder_legs
+            mats = self._connector_values(inp, t, dof, 2)
+            for i in range(n):
+                if i + legs < n:
+                    add_bond(i, i + legs, mats[0])     # leg (x) direction
+                if i % legs != legs - 1:
+                    add_bond(i, i + 1, mats[1])        # rung (y) direction
+                elif py and legs > 2:
+                    add_bond(i, i - (legs - 1), mats[1])
+            if px and n > 2 * legs:
+                for leg in range(legs):
+                    add_bond(n - legs + leg, leg, mats[0])
+        elif kl == "star":
+            mats = self._connector_values(inp, t, dof, 1)
+            for i in range(1, n):
+                add_bond(0, i, mats[0])
+        elif kl in ("longrange", "raw"):
+            mat = np.array(inp.matrix("Connectors", occurrence=t),
+                           dtype=np.float64)
+            if dof == 1:
+                if mat.shape != (n, n):
+                    raise ValueError("longrange Connectors must be n x n")
+                c[:, :, 0, 0] = mat
+            else:
+                full = mat.reshape(n, dof, n, dof).transpose(0, 2, 1, 3)
+                c[:] = full
+        else:
+            raise ValueError(f"unsupported GeometryKind: {kind}")
+        return c
+
+    # -- queries (reference Geometry operator()) ---------------------------
+
+    def terms(self) -> int:
+        return self.nterms
+
+    def number_of_sites(self) -> int:
+        return self.nsites
+
+    def dof(self, term: int) -> int:
+        return self._dofs[term]
+
+    def connector(self, i, orb1, j, orb2, term) -> float:
+        return float(self._couplings[term][i, j, orb1, orb2])
+
+    def coupling_matrix(self, term: int, orb1: int = 0,
+                        orb2: int = 0) -> np.ndarray:
+        """(n, n) site-coupling matrix for one orbital pair."""
+        return self._couplings[term][:, :, orb1, orb2]
+
+    def coupling_tensor(self, term: int) -> np.ndarray:
+        """(n, n, dof, dof)."""
+        return self._couplings[term]
+
+    def kind(self, term: int = 0) -> str:
+        return self._kinds[term]
+
+    # -- symmetry support (reference: Geometry::translate / findReflection,
+    #    used at src/Engine/TranslationSymmetry.h:147 and
+    #    src/Engine/ReflectionSymmetry.h:87) --------------------------------
+
+    def translate(self, site: int, direction: int, amount: int) -> int:
+        n = self.nsites
+        if self.kind(0).lower() == "chain":
+            return (site + amount) % n
+        if self.kind(0).lower() in ("ladder", "ladderx"):
+            legs = self.ladder_legs
+            if direction == 0:  # along the legs
+                x = site // legs
+                leg = site % legs
+                nx = n // legs
+                return ((x + amount) % nx) * legs + leg
+            x = site // legs
+            leg = site % legs
+            return x * legs + (leg + amount) % legs
+        raise ValueError("translate: unsupported geometry")
+
+    def find_reflection(self, site: int) -> int:
+        n = self.nsites
+        if self.kind(0).lower() == "chain":
+            return n - 1 - site
+        if self.kind(0).lower() in ("ladder", "ladderx"):
+            legs = self.ladder_legs
+            x = site // legs
+            leg = site % legs
+            nx = n // legs
+            return (nx - 1 - x) * legs + leg
+        raise ValueError("find_reflection: unsupported geometry")
+
+    def length(self, direction: int = 0) -> int:
+        if self.kind(0).lower() == "chain":
+            return self.nsites
+        if self.kind(0).lower() in ("ladder", "ladderx"):
+            return (self.nsites // self.ladder_legs if direction == 0
+                    else self.ladder_legs)
+        return self.nsites

@@ -1,0 +1,246 @@
+"""Hubbard model golden tests.
+
+Strategy mirrors the reference's built-in oracles (SURVEY.md section 4):
+dense-diagonalization cross-checks (reference dumpmatrix path,
+src/Engine/DefaultSymmetry.h:61-94) and analytic free-fermion values.
+"""
+
+import numpy as np
+import pytest
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.engine import Engine
+from lanczosplusplus_tpu.solver import lanczos as lz
+
+INPUT0 = """
+TotalNumberOfSites=4
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 4
+0 0 0 0
+potentialV 8
+0 0 0 0
+0 0 0 0
+SolverOptions=none
+Version=version
+OutputFile=data0
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+
+
+def free_fermion_e0(nsite, nup, ndown, t=-1.0, periodic=False):
+    """Analytic ground energy of U=0 Hubbard = filled single-particle
+    levels of the hopping matrix."""
+    h = np.zeros((nsite, nsite))
+    for i in range(nsite - 1):
+        h[i, i + 1] = h[i + 1, i] = t
+    if periodic:
+        h[0, nsite - 1] += t
+        h[nsite - 1, 0] += t
+    eps = np.linalg.eigvalsh(h)
+    return eps[:nup].sum() + eps[:ndown].sum()
+
+
+def make_engine(text):
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    return Engine(model, inp)
+
+
+def test_input0_free_fermions():
+    eng = make_engine(INPUT0)
+    expect = free_fermion_e0(4, 2, 2)
+    assert eng.ground_energy == pytest.approx(expect, abs=1e-10)
+    assert eng.ground_energy == pytest.approx(-2 - 2 * np.sqrt(5) + 2,
+                                              abs=1e-9)  # -4.472135955
+
+
+def test_hamiltonian_hermitian_and_dense_oracle():
+    inp = parse_input(INPUT0.replace("hubbardU 4\n0 0 0 0",
+                                     "hubbardU 4\n4 4 4 4"))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    ham = model.hamiltonian(basis)
+    dense = ham.to_dense()
+    assert dense.shape == (36, 36)
+    np.testing.assert_allclose(dense, dense.T.conj(), atol=1e-13)
+    evals = np.linalg.eigvalsh(dense)
+    # Lieb-Wu-style sanity: U>0 raises E0 above the free value
+    assert evals[0] > free_fermion_e0(4, 2, 2)
+    # matvec agrees with dense
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(36)
+    np.testing.assert_allclose(np.asarray(ham.matvec(x)), dense @ x,
+                               atol=1e-12)
+
+
+def test_lanczos_matches_dense_medium():
+    """8-site half-filled U=4 chain: Lanczos vs dense eigh."""
+    text = """
+TotalNumberOfSites=8
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 8
+4 4 4 4 4 4 4 4
+potentialV 16
+0 0 0 0 0 0 0 0
+0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=4
+TargetElectronsDown=4
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((4, 4))
+    assert basis.size == 4900
+    ham = model.hamiltonian(basis)
+    evals, vecs = lz.lowest_states(ham, num_states=1, max_steps=120)
+    dense = ham.to_dense()
+    expect = np.linalg.eigvalsh(dense)[0]
+    assert evals[0] == pytest.approx(expect, abs=1e-9)
+    # residual of the Ritz vector
+    v = np.asarray(vecs[0])
+    r = np.linalg.norm(dense @ v - evals[0] * v)
+    assert r < 1e-7
+
+
+def test_super_hubbard_extended_dense_oracle():
+    """SuperHubbardExtended: hopping + ninj + Heisenberg J, checked
+    against dense diagonalization of the assembled matrix and against a
+    brute-force operator construction."""
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.7
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.3
+Model=SuperHubbardExtended
+hubbardU 4
+2 2 2 2
+potentialV 8
+0.1 -0.2 0.3 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    ham = model.hamiltonian(basis)
+    dense = ham.to_dense()
+    np.testing.assert_allclose(dense, dense.T.conj(), atol=1e-13)
+    brute = brute_force_hubbard(
+        4, 2, 2, geom.coupling_matrix(0), np.full(4, 2.0),
+        np.array([0.1, -0.2, 0.3, 0]),
+        wmat=geom.coupling_matrix(1), jmat=geom.coupling_matrix(2))
+    np.testing.assert_allclose(dense, brute, atol=1e-12)
+
+
+def brute_force_hubbard(nsite, nup, ndown, tmat, u, v, wmat=None, jmat=None):
+    """Independent O(4^n) construction in the full Fock space, projected
+    onto the (nup, ndown) sector with the reference's state ordering."""
+    from lanczosplusplus_tpu.core.combinatorics import enumerate_combinations
+
+    def c_op(word, site):
+        # returns (new_word, sign) or None; annihilate at site
+        if not (word >> site) & 1:
+            return None
+        sign = (-1) ** bin(word & ((1 << site) - 1)).count("1")
+        return word ^ (1 << site), sign
+
+    def cdag_op(word, site):
+        if (word >> site) & 1:
+            return None
+        sign = (-1) ** bin(word & ((1 << site) - 1)).count("1")
+        return word ^ (1 << site), sign
+
+    ups = list(enumerate_combinations(nsite, nup).astype(int))
+    dns = list(enumerate_combinations(nsite, ndown).astype(int))
+    dim = len(ups) * len(dns)
+    index = {(u_, d_): k for k, (d_, u_) in
+             enumerate((d_, u_) for d_ in dns for u_ in ups)}
+    H = np.zeros((dim, dim))
+    for (u_w, d_w), row in index.items():
+        # diagonal
+        diag = 0.0
+        for i in range(nsite):
+            nu_i = (u_w >> i) & 1
+            nd_i = (d_w >> i) & 1
+            diag += u[i] * nu_i * nd_i + v[i] * (nu_i + nd_i)
+            for j in range(nsite):
+                nu_j = (u_w >> j) & 1
+                nd_j = (d_w >> j) & 1
+                if wmat is not None:
+                    diag += 0.5 * wmat[i, j] * (nu_i + nd_i) * (nu_j + nd_j)
+                if jmat is not None:
+                    diag += 0.5 * jmat[i, j] * 0.25 * (nu_i - nd_i) * \
+                        (nu_j - nd_j)
+        H[row, row] += diag
+        # hopping: sum_ij t_ij c^dag_j c_i, both spins
+        for i in range(nsite):
+            for j in range(nsite):
+                if tmat[i, j] == 0 or i == j:
+                    continue
+                r1 = c_op(u_w, i)
+                if r1 is not None:
+                    r2 = cdag_op(r1[0], j)
+                    if r2 is not None:
+                        col = index[(r2[0], d_w)]
+                        H[col, row] += tmat[i, j] * r1[1] * r2[1]
+                r1 = c_op(d_w, i)
+                if r1 is not None:
+                    r2 = cdag_op(r1[0], j)
+                    if r2 is not None:
+                        col = index[(u_w, r2[0])]
+                        H[col, row] += tmat[i, j] * r1[1] * r2[1]
+        # J exchange: (J_ij/2)(S+_i S-_j + S-_i S+_j) as fermion strings
+        if jmat is not None:
+            for i in range(nsite):
+                for j in range(nsite):
+                    if jmat[i, j] == 0 or i == j:
+                        continue
+                    # S+_i S-_j = c^dag_iu c_id  c^dag_jd c_ju
+                    amps = 0.5 * jmat[i, j] * 0.5  # half for double count
+                    r1 = c_op(u_w, j)
+                    if r1 is None:
+                        continue
+                    r2 = cdag_op(d_w, j)
+                    if r2 is None:
+                        continue
+                    r3 = c_op(r2[0], i)
+                    if r3 is None:
+                        continue
+                    r4 = cdag_op(r1[0], i)
+                    if r4 is None:
+                        continue
+                    # ordering: up string sign then down string sign
+                    col = index[(r4[0], r3[0])]
+                    H[col, row] += 2 * amps * r1[1] * r2[1] * r3[1] * r4[1]
+    return H
