@@ -1,0 +1,110 @@
+"""Benchmark: sector-Hamiltonian SpMV throughput (the Lanczos hot loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric is SpMV nnz/s on the largest half-filled Hubbard-chain sector
+that fits comfortably on one chip (BASELINE.json: "SpMV GB/s + nnz/s
+per chip; Lanczos iterations/sec").  The reference publishes no
+numbers (BASELINE.md), so vs_baseline reports the fraction of the
+memory-bandwidth speed-of-light for this chip: bytes moved per matvec /
+measured time / nominal HBM bandwidth.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_hamiltonian(nsite, dtype=np.float32):
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+
+    text = f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU {nsite} {" ".join(["4"] * nsite)}
+potentialV {2 * nsite} {" ".join(["0"] * 2 * nsite)}
+SolverOptions=none
+TargetElectronsUp={nsite // 2}
+TargetElectronsDown={nsite // 2}
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((nsite // 2, nsite // 2))
+    return model.hamiltonian(basis, dtype=dtype), basis
+
+
+def main():
+    platform = jax.devices()[0].platform
+    nsite = 14 if platform != "cpu" else 10
+    ham, basis = build_hamiltonian(nsite)
+    dim = ham.dim
+
+    matvec = jax.jit(lambda h, x: h.matvec(x))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (dim,), jnp.float32)
+    x = x / jnp.linalg.norm(x)
+
+    # warmup / compile
+    y = matvec(ham, x)
+    y.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = matvec(ham, x)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    nnz = ham.nnz
+    nnz_per_s = nnz / dt
+
+    # bytes moved per matvec: index + value per nnz (int32 + f32 for the
+    # factorized maps are amortized over the Kronecker batch, but each
+    # gathered x element is a real read) + vector reads/writes
+    f = ham.factorized
+    index_bytes = 0
+    if f is not None:
+        for c, v in ((f.up_cols, f.up_vals), (f.dn_cols, f.dn_vals)):
+            if c is not None:
+                index_bytes += c.size * 4 + v.size * 4
+    if ham.ell is not None:
+        index_bytes += ham.ell.cols.size * 4 + ham.ell.vals.size * 4
+    gathered_reads = 4 * nnz           # each nnz reads one x element
+    vector_io = 4 * dim * 3            # x read for diag, y write, diag
+    bytes_moved = index_bytes + gathered_reads + vector_io
+    gbps = bytes_moved / dt / 1e9
+
+    # nominal HBM bandwidth per chip (TPU v5e ~ 819 GB/s)
+    nominal_bw = {"tpu": 819e9, "axon": 819e9}.get(platform, 100e9)
+    sol_fraction = (bytes_moved / dt) / nominal_bw
+
+    print(json.dumps({
+        "metric": "hubbard_sector_spmv_nnz_per_s",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(sol_fraction, 4),
+        "detail": {
+            "platform": platform,
+            "nsite": nsite,
+            "dim": dim,
+            "nnz": nnz,
+            "ms_per_matvec": round(dt * 1e3, 3),
+            "effective_GBps": round(gbps, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,14 +100,15 @@ class SpinFactorizedPart:
     dn_vals: Optional[jax.Array]
 
     def apply(self, x2d):
+        # one whole-matrix gather per ELL slot k: avoids a (szd, szu, K)
+        # intermediate; K is small and static so the loop unrolls.
         y = jnp.zeros_like(x2d)
         if self.up_cols is not None:
-            # (szd, szu, Ku): gather columns of X for every down word
-            y = y + jnp.einsum("uk,duk->du", self.up_vals,
-                               x2d[:, self.up_cols])
+            for k in range(self.up_cols.shape[1]):
+                y = y + self.up_vals[None, :, k] * x2d[:, self.up_cols[:, k]]
         if self.dn_cols is not None:
-            y = y + jnp.einsum("dk,dku->du", self.dn_vals,
-                               x2d[self.dn_cols, :])
+            for k in range(self.dn_cols.shape[1]):
+                y = y + self.dn_vals[:, k, None] * x2d[self.dn_cols[:, k], :]
         return y
 
     @property
@@ -171,6 +172,61 @@ class Hamiltonian:
             if f.dn_cols is not None:
                 n += self.spin_shape[1] * int(np.prod(f.dn_cols.shape))
         return n
+
+    def flatten_to_ell(self) -> "Hamiltonian":
+        """Merge factorized Kronecker parts into one generic ELL block.
+
+        The row-partitioned distributed path and the Pallas SpMV kernel
+        consume a single (cols, vals) layout; the Kronecker indices
+        expand by broadcasting, no COO round-trip."""
+        if self.factorized is None:
+            return self
+        szd, szu = self.spin_shape
+        blocks_c, blocks_v = [], []
+        f = self.factorized
+        if f.up_cols is not None:
+            ku = f.up_cols.shape[1]
+            base = (jnp.arange(szd, dtype=jnp.int32) * szu)[:, None, None]
+            c = (f.up_cols[None, :, :] + base).reshape(szd * szu, ku)
+            v = jnp.broadcast_to(f.up_vals[None, :, :],
+                                 (szd, szu, ku)).reshape(szd * szu, ku)
+            blocks_c.append(c)
+            blocks_v.append(v)
+        if f.dn_cols is not None:
+            kd = f.dn_cols.shape[1]
+            iu = jnp.arange(szu, dtype=jnp.int32)[None, :, None]
+            c = (f.dn_cols[:, None, :] * szu + iu).reshape(szd * szu, kd)
+            v = jnp.broadcast_to(f.dn_vals[:, None, :],
+                                 (szd, szu, kd)).reshape(szd * szu, kd)
+            blocks_c.append(c)
+            blocks_v.append(v)
+        if self.ell is not None:
+            blocks_c.append(self.ell.cols)
+            blocks_v.append(self.ell.vals)
+        ell = EllPart(cols=jnp.concatenate(blocks_c, axis=1).astype(jnp.int32),
+                      vals=jnp.concatenate(blocks_v, axis=1))
+        return Hamiltonian(diag=self.diag, ell=ell, factorized=None,
+                           spin_shape=None)
+
+    def padded(self, multiple: int) -> "Hamiltonian":
+        """Pad rows to a multiple (for even sharding); padding rows are
+        zero with self-referencing columns.  Flattens to ELL form."""
+        h = self.flatten_to_ell()
+        dim = h.dim
+        rem = (-dim) % multiple
+        if rem == 0:
+            return h
+        newdim = dim + rem
+        k = h.ell.cols.shape[1]
+        pad_cols = jnp.tile(
+            jnp.arange(dim, newdim, dtype=jnp.int32)[:, None], (1, k))
+        cols = jnp.concatenate([h.ell.cols, pad_cols], axis=0)
+        vals = jnp.concatenate(
+            [h.ell.vals, jnp.zeros((rem, k), h.ell.vals.dtype)], axis=0)
+        diag = jnp.concatenate(
+            [h.diag, jnp.zeros((rem,), h.diag.dtype)])
+        return Hamiltonian(diag=diag, ell=EllPart(cols=cols, vals=vals),
+                           factorized=None, spin_shape=None)
 
     def to_dense(self) -> np.ndarray:
         """Dense matrix for oracle tests (reference dumpmatrix path,

@@ -12,6 +12,23 @@ import jax.numpy as jnp
 
 from lanczosplusplus_tpu.config import Config
 from lanczosplusplus_tpu.solver import lanczos as lz
+from lanczosplusplus_tpu.engine import operators as ops
+from lanczosplusplus_tpu.engine.operators import LabeledOperator
+from lanczosplusplus_tpu.engine.spectral import (
+    ContinuedFraction, ContinuedFractionCollection)
+
+
+def apply_operator_map(tgt, amp, dst_dim, vec, factor=1.0):
+    """z[tgt] += factor * amp * vec — the vectorized accModifiedState_
+    scatter (reference: Engine.h:416-458).  Host-side numpy: operator
+    application is O(dim) and runs once per observable, not in the
+    Lanczos hot loop."""
+    src = np.asarray(vec)
+    out = np.zeros(dst_dim, dtype=np.result_type(src.dtype, np.float64)
+                   if not np.iscomplexobj(src) else src.dtype)
+    mask = tgt >= 0
+    np.add.at(out, tgt[mask], factor * amp[mask] * src[mask])
+    return out
 
 
 class Engine:
@@ -42,3 +59,181 @@ class Engine:
     @property
     def ground_energy(self) -> float:
         return self.energies(0)
+
+    # -- operator application across sectors ------------------------------
+
+    def _get_needed_basis(self, parts, op, spin, orb):
+        """(new_parts, basis) or None (reference: Engine.h:391-414)."""
+        if not op.needs_new_basis:
+            if parts == self.parts:
+                return parts, self.basis
+            return parts, self.model.create_basis(parts)
+        new_parts = self.model.has_new_parts(parts, op, spin, orb)
+        if new_parts is None:
+            return None
+        return new_parts, self.model.create_basis(new_parts)
+
+    def acc_modified_state(self, z, op, dst_basis, src_vec, src_basis,
+                           site, spin, orb, factor):
+        """z += factor * op_site |src> (reference: Engine.h:416-458)."""
+        tgt, amp, dst_dim = self.model.operator_map(
+            op, site, spin, orb, src_basis, dst_basis)
+        z += apply_operator_map(tgt, amp, dst_dim, src_vec, factor)
+        return z
+
+    def _acc_modified_state_dressed(self, z, op, dst_basis, src_vec,
+                                    src_basis, site, spin, orb, isign):
+        """The twoPoint variant: sz -> 0.5 n_up - 0.5 n_down
+        (reference: Engine.h:537-599 accModifiedState)."""
+        if op.name == ops.SZ:
+            op_n = LabeledOperator(ops.N)
+            self.acc_modified_state(z, op_n, dst_basis, src_vec, src_basis,
+                                    site, 0, orb, isign * 0.5)
+            self.acc_modified_state(z, op_n, dst_basis, src_vec, src_basis,
+                                    site, 1, orb, -isign * 0.5)
+            return z
+        return self.acc_modified_state(z, op, dst_basis, src_vec, src_basis,
+                                       site, spin, orb, isign)
+
+    # -- spectral functions (reference: Engine.h:113-206) -----------------
+
+    def spectral_function(self, op_name: str, isite: int, jsite: int,
+                          spin: int = 0, orbs=(0, 0)):
+        """Green's function G_op(isite, jsite, omega) as a
+        continued-fraction collection via the 4-type decomposition
+        (reference: Engine.h:133-206 spectralFunction)."""
+        op1 = LabeledOperator(op_name)
+        op2 = op1.transpose_conjugate()
+        gs = np.asarray(self.eigenvector(0))
+        is_diagonal = (isite == jsite and orbs[0] == orbs[1])
+        coll = ContinuedFractionCollection()
+        labels = []
+        for type_ in range(op1.number_of_types):
+            if is_diagonal and type_ > 1:
+                continue
+            op = op1 if (type_ & 1) else op2
+            if op.needs_new_basis:
+                new_parts = self.model.has_new_parts(
+                    self.parts, op, spin, orbs[0])
+                if new_parts is None:
+                    continue
+                basis_new = self.model.create_basis(new_parts)
+            else:
+                basis_new = self.basis
+            modif = np.zeros(basis_new.size, dtype=gs.dtype)
+            self.acc_modified_state(modif, op, basis_new, gs, self.basis,
+                                    isite, spin, orbs[0], 1.0)
+            if not is_diagonal:
+                isign = -1.0 if type_ > 1 else 1.0
+                self.acc_modified_state(modif, op, basis_new, gs, self.basis,
+                                        jsite, spin, orbs[1], isign)
+            ham_new = self.model.hamiltonian(
+                basis_new, dtype=self.config.scalar_dtype)
+            cf = self._calc_spectral(ham_new, op.is_fermionic, modif,
+                                     type_, is_diagonal)
+            cf.meta = f"{spin},{type_},{orbs[0]},{orbs[1]}"
+            labels.append(cf.meta)
+            coll.push(cf)
+        return coll, labels
+
+    def _calc_spectral(self, ham_new, is_fermionic, modif, type_,
+                       is_diagonal) -> ContinuedFraction:
+        """Lanczos tridiagonalization of op|gs> (reference:
+        Engine.h:460-490 calcSpectral)."""
+        import jax.numpy as jnp
+
+        weight = float(np.real(np.vdot(modif, modif)))
+        s = -1 if (type_ & 1) else 1
+        s2 = -1.0 if type_ > 1 else 1.0
+        if not is_fermionic:
+            s2 *= s
+        if not is_diagonal:
+            s2 *= 0.5
+        # our sigma convention: +1 = particle addition (poles at
+        # omega = E_n - E0); even types apply the transpose-conjugate
+        # operator (c^dagger for gf "c"), odd types remove.  The
+        # reference passes -s to PsimagLite cf.set whose internal
+        # convention is mirrored (Engine.h:488).
+        if weight < 1e-24:
+            return ContinuedFraction(
+                alphas=np.zeros(0), betas=np.zeros(0),
+                e0=self.ground_energy, weight=0.0, sigma=s)
+        v0 = jnp.asarray(modif / np.sqrt(weight))
+        res = lz.tridiagonalize(ham_new, v0,
+                                self.config.lanczos_steps)
+        return ContinuedFraction(
+            alphas=res.alphas, betas=res.betas, e0=self.ground_energy,
+            weight=weight * s2, sigma=s)
+
+    # -- static correlators (reference: Engine.h:266-338) -----------------
+
+    def two_point(self, op_name: str, spin=(0, 0), orbs=(0, 0),
+                  bra_ket=(0, 0)):
+        """C(i, j) = <bra| op^dag_j op_i |ket> for all site pairs."""
+        op = LabeledOperator(op_name)
+        n = self.geometry.number_of_sites()
+        if op.needs_new_basis:
+            if spin[0] != spin[1]:
+                raise ValueError("two_point: off-diagonal spin with "
+                                 "sector-changing operator unsupported")
+            new_parts = self.model.has_new_parts(self.parts, op, spin[0],
+                                                 orbs[0])
+            if new_parts is None:
+                return None
+            basis_new = self.model.create_basis(new_parts)
+        else:
+            basis_new = self.basis
+        bra = np.asarray(self.eigenvector(bra_ket[0]))
+        ket = np.asarray(self.eigenvector(bra_ket[1]))
+        result = np.full((n, n), np.nan, dtype=np.complex128)
+        mods_ket = []
+        for isite in range(n):
+            if orbs[0] >= self.model.orbitals(isite):
+                mods_ket.append(None)
+                continue
+            z = np.zeros(basis_new.size, dtype=np.complex128)
+            self._acc_modified_state_dressed(
+                z, op, basis_new, ket, self.basis, isite, spin[0],
+                orbs[0], 1.0)
+            mods_ket.append(z)
+        for jsite in range(n):
+            if orbs[1] >= self.model.orbitals(jsite):
+                continue
+            z2 = np.zeros(basis_new.size, dtype=np.complex128)
+            self._acc_modified_state_dressed(
+                z2, op, basis_new, bra, self.basis, jsite, spin[1],
+                orbs[1], 1.0)
+            for isite in range(n):
+                if mods_ket[isite] is None:
+                    continue
+                result[isite, jsite] = np.vdot(z2, mods_ket[isite])
+        return result
+
+    # -- many-point fixed-site correlator (reference: Engine.h:341-389) ---
+
+    def many_point(self, sites, op_names, spins, orbs, bra_ket=(0, 0)):
+        tmp = np.asarray(self.eigenvector(bra_ket[1]))
+        basis_old = self.basis
+        old_parts = self.parts
+        for k, site in enumerate(sites):
+            if orbs[k] >= self.model.orbitals(site):
+                continue
+            op = LabeledOperator(op_names[k])
+            got = self._get_needed_basis(old_parts, op, spins[k], orbs[k])
+            if got is None:
+                return 0.0
+            new_parts, basis_new = got
+            z = np.zeros(basis_new.size, dtype=np.complex128)
+            self.acc_modified_state(z, op, basis_new, tmp, basis_old,
+                                    site, spins[k], orbs[k], 1.0)
+            tmp = z
+            basis_old = basis_new
+            old_parts = new_parts
+        if old_parts != self.parts:
+            return 0.0
+        bra = np.asarray(self.eigenvector(bra_ket[0]))
+        return complex(np.vdot(bra, tmp))
+
+    @property
+    def geometry(self):
+        return self.model.geometry

@@ -1,0 +1,65 @@
+"""Row-partitioned distribution of sector Hamiltonians over a device mesh.
+
+The reference's only hot-loop parallelism is a pthreads parallel-for
+over Hilbert-space rows of the matrix-free apply (reference:
+src/Models/HubbardOneOrbital/HubbardHelper.h:119-133,
+src/Engine/ProgramGlobals.h via Parallelizer2).  The TPU-native scaling
+of the same axis: ELL rows, the diagonal and the state vector are
+1-D sharded over a `jax.sharding.Mesh`; the column gather x[cols] makes
+XLA insert an all-gather of the state vector over ICI, and Lanczos
+scalars (vdot, norm) become sharded reductions (psum).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROWS = "rows"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (ROWS,))
+
+
+def shard_hamiltonian(ham, mesh: Mesh):
+    """Pad + ELL-flatten a Hamiltonian and place rows across the mesh."""
+    h = ham.padded(mesh.devices.size)
+    row_sharded = NamedSharding(mesh, P(ROWS, None))
+    vec_sharded = NamedSharding(mesh, P(ROWS))
+    from lanczosplusplus_tpu.core.sparse import EllPart, Hamiltonian
+    return Hamiltonian(
+        diag=jax.device_put(h.diag, vec_sharded),
+        ell=EllPart(cols=jax.device_put(h.ell.cols, row_sharded),
+                    vals=jax.device_put(h.ell.vals, row_sharded)),
+        factorized=None, spin_shape=None)
+
+
+def sharded_vector(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P(ROWS)))
+
+
+def lanczos_step(ham, v, v_prev, beta_prev):
+    """One distributed Lanczos iteration (matvec + alpha/beta): the unit
+    the multi-chip dry run compiles and executes."""
+    w = ham.matvec(v)
+    alpha = jnp.real(jnp.vdot(v, w))
+    w = w - alpha * v - beta_prev * v_prev
+    # re-orthogonalize against current vector once more (local Gram step)
+    w = w - jnp.vdot(v, w) * v
+    beta = jnp.linalg.norm(w)
+    v_next = w / jnp.where(beta > 0, beta, 1.0)
+    return v_next, v, alpha, beta
+
+
+def jit_lanczos_step(mesh: Mesh):
+    vec = NamedSharding(mesh, P(ROWS))
+    none = NamedSharding(mesh, P())
+    return jax.jit(
+        lanczos_step,
+        out_shardings=(vec, vec, none, none))

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS at
+# interpreter boot; the config update below wins over it as long as no
+# backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
