@@ -59,12 +59,16 @@ def main():
     # warmup / compile
     y = matvec(ham, x)
     y.block_until_ready()
+    _ = float(y[0])  # force a real device->host sync
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         x = matvec(ham, x)
     x.block_until_ready()
+    # block_until_ready can return early on relay-backed platforms;
+    # a scalar readback is an unambiguous pipeline flush
+    _ = float(x[0])
     dt = (time.perf_counter() - t0) / iters
 
     nnz = ham.nnz
