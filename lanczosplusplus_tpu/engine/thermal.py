@@ -1,0 +1,183 @@
+"""Finite-temperature engines.
+
+Two capabilities from the reference:
+
+1. `ExactDiag` — full diagonalization of one sector + <E>(T or beta)
+   schedule (reference: src/ed.cpp:22-59, src/Engine/ExactDiag.h:26-92;
+   labels TemperatureOrBeta=, TemperatureOrBetaStart/Total/Step=).
+2. `GrandCanonical` — the thermal post-processing pipeline: full
+   spectra of every (nup, ndown) sector, grand-canonical Z / density /
+   energy at (beta, mu), and Lehmann pole weights of
+   <A(t) B> correlators (reference: src/thermal.cpp:94-232 +
+   scripts/grandCanonical.pl sector sweep; operator matrices as printed
+   by printOperators, src/Models/HubbardOneOrbital/HubbardOneOrbital.h:126-210).
+
+The reference splits this across dumpmatrix runs, a Perl driver and a
+separate binary; here it is one in-process pipeline with device `eigh`
+per sector and MXU matmuls for the operator rotations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from lanczosplusplus_tpu.engine.operators import LabeledOperator
+
+
+@dataclasses.dataclass
+class SectorSpectrum:
+    parts: tuple
+    evals: np.ndarray     # (n,)
+    evecs: np.ndarray     # (n, n) columns are eigenvectors
+    nelectrons: int
+
+
+def full_spectrum(model, basis, dtype=np.float64) -> SectorSpectrum:
+    ham = model.hamiltonian(basis, dtype=dtype)
+    dense = jnp.asarray(ham.to_dense())
+    evals, evecs = jnp.linalg.eigh(dense)
+    parts = basis.parts
+    ne = sum(p for p in parts if isinstance(p, (int, np.integer)))
+    return SectorSpectrum(parts=parts, evals=np.asarray(evals),
+                          evecs=np.asarray(evecs), nelectrons=int(ne))
+
+
+class ExactDiag:
+    """reference: src/Engine/ExactDiag.h."""
+
+    def __init__(self, model, inp):
+        self.tb_what = inp.string("TemperatureOrBeta", default="temperature")
+        if self.tb_what not in ("temperature", "beta"):
+            raise ValueError("TemperatureOrBeta= must be beta or temperature")
+        self.tb_start = inp.real("TemperatureOrBetaStart", default=0.0)
+        self.tb_total = inp.integer("TemperatureOrBetaTotal", default=0)
+        self.tb_step = inp.real("TemperatureOrBetaStep", default=0.0)
+        basis = model.create_basis(model.default_parts(inp))
+        self.spectrum = full_spectrum(model, basis)
+
+    def energy_at(self, tb: float) -> float:
+        e = self.spectrum.evals
+        arg = -tb * e if self.tb_what == "beta" else -e / tb
+        arg = arg - arg.max()  # stabilized; ratio is unchanged
+        w = np.exp(arg)
+        return float((e * w).sum() / w.sum())
+
+    def schedule(self):
+        return [(self.tb_start + i * self.tb_step,
+                 self.energy_at(self.tb_start + i * self.tb_step))
+                for i in range(self.tb_total)]
+
+    def print_energies(self, os):
+        os.write(f"#tb={self.tb_what}\n#Parameter Energy\n")
+        for tb, e in self.schedule():
+            os.write(f"{tb} {e}\n")
+
+
+def operator_matrix(model, op_name, site, spin, orb, src_basis, dst_basis):
+    """Dense (src, dst) operator matrix A[s, tgt(s)] = amp(s)
+    (the reference's printOperatorC/setupOperator matrices,
+    HubbardOneOrbital.h:161-210)."""
+    op = LabeledOperator(op_name)
+    tgt, amp, dst_dim = model.operator_map(op, site, spin, orb,
+                                           src_basis, dst_basis)
+    a = np.zeros((src_basis.size, dst_dim))
+    mask = tgt >= 0
+    a[np.nonzero(mask)[0], tgt[mask]] = amp[mask]
+    return a
+
+
+class GrandCanonical:
+    """Full-spectra sweep over all (nup, ndown) sectors of a model
+    (replaces scripts/grandCanonical.pl + src/thermal.cpp)."""
+
+    def __init__(self, model, nsite: int, kind: str = "hubbard",
+                 max_electrons: Optional[int] = None):
+        self.model = model
+        self.nsite = nsite
+        self.sectors: List[SectorSpectrum] = []
+        self._bases = {}
+        nmax = max_electrons if max_electrons is not None else 2 * nsite
+        for nup in range(nsite + 1):
+            for ndown in range(nsite + 1):
+                if nup + ndown == 0 or nup + ndown > nmax:
+                    continue
+                if kind == "tj" and nup + ndown > nsite:
+                    continue
+                try:
+                    basis = model.create_basis((nup, ndown))
+                except Exception:
+                    continue
+                if basis.size == 0:
+                    continue
+                self._bases[(nup, ndown)] = basis
+                self.sectors.append(full_spectrum(model, basis))
+
+    def _weights(self, beta, mu, constant=0.0):
+        """Per-sector stabilized Boltzmann data."""
+        out = []
+        for s in self.sectors:
+            factor = mu * s.nelectrons + constant
+            out.append(beta * (factor - s.evals))
+        shift = max(a.max() for a in out)
+        return [np.exp(a - shift) for a in out], shift
+
+    def partition(self, beta, mu, constant=0.0) -> float:
+        ws, shift = self._weights(beta, mu, constant)
+        return float(sum(w.sum() for w in ws) * np.exp(shift))
+
+    def density(self, beta, mu, constant=0.0) -> float:
+        ws, _ = self._weights(beta, mu, constant)
+        z = sum(w.sum() for w in ws)
+        num = sum(w.sum() * s.nelectrons
+                  for w, s in zip(ws, self.sectors))
+        return float(num / z)
+
+    def energy(self, beta, mu, constant=0.0) -> float:
+        ws, _ = self._weights(beta, mu, constant)
+        z = sum(w.sum() for w in ws)
+        num = sum((w * s.evals).sum() for w, s in zip(ws, self.sectors))
+        return float(num / z)
+
+    def correlation_poles(self, op_name, sites, spin, beta, mu,
+                          constant=0.0):
+        """Lehmann weights of <A^dag_site2(t) A_site1> at (beta, mu):
+        list of (omega = e1 - e2 + mu, weight) (reference:
+        thermal.cpp:125-190 computeThisSector)."""
+        from lanczosplusplus_tpu.engine.operators import LabeledOperator as L
+
+        op = L(op_name)
+        ws, _ = self._weights(beta, mu, constant)
+        z = sum(w.sum() for w in ws)
+        poles = []
+        total = 0.0
+        for w, s in zip(ws, self.sectors):
+            src_basis = self._bases[s.parts]
+            new_parts = self.model.has_new_parts(s.parts, op, spin, 0)
+            if new_parts is None:
+                continue
+            dst_basis = self._bases.get(new_parts)
+            dst = next((t for t in self.sectors if t.parts == new_parts),
+                       None)
+            if dst is None or dst_basis is None:
+                continue
+            a = operator_matrix(self.model, op_name, sites[0], spin, 0,
+                                src_basis, dst_basis)
+            b = a if sites[1] == sites[0] else operator_matrix(
+                self.model, op_name, sites[1], spin, 0, src_basis,
+                dst_basis)
+            # X_{n,n'} = U_src^dag A U_dst  (MXU matmuls)
+            x = s.evecs.conj().T @ a @ dst.evecs
+            y = s.evecs.conj().T @ b @ dst.evecs
+            val = x * np.conj(y) * (w / z)[:, None]
+            e1 = s.evals[:, None]
+            e2 = dst.evals[None, :]
+            omega = e1 - e2 + mu
+            keep = np.abs(val) > 1e-12
+            for om, v in zip(omega[keep].ravel(), val[keep].ravel()):
+                poles.append((float(om), float(np.real(v))))
+            total += float(val.sum().real)
+        return poles, total
