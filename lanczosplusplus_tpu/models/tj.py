@@ -130,7 +130,8 @@ class TjMultiOrbModel:
             return parts
         else:
             raise ValueError(f"tj hasNewParts: unsupported {op.name}")
-        if min(new) < 0 or max(new) > nsite or new == (0, 0):
+        # (0, 0) allowed as a capability extension (see hubbard.py)
+        if min(new) < 0 or max(new) > nsite:
             return None
         if new[0] + new[1] > nsite:
             return None  # no double occupancy
