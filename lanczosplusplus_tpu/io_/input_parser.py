@@ -122,7 +122,10 @@ def parse_input(text: str) -> InputData:
         tok = toks[i]
         if "=" in tok:
             label, _, val = tok.partition("=")
-            push(label, _to_num(val) if _is_number(val) else val)
+            value = _to_num(val) if _is_number(val) else val
+            push(label, value)
+            if label == "DegreesOfFreedom":
+                dof_per_term.append(int(value))
             i += 1
             continue
         label = tok
