@@ -1,0 +1,78 @@
+"""Immm model tests: hermiticity, hole-language diagonal, brute oracle."""
+
+import numpy as np
+import pytest
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.engine import Engine
+
+
+def immm_input(nsite, nup, ndown):
+    return parse_input(f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=2
+DegreesOfFreedom=2
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 2 2
+-1.0 -0.5
+-0.5 -0.8
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.6
+Model=Immm
+hubbardU {nsite} {" ".join(["3"] * nsite)}
+potentialV {nsite} {" ".join(["0.2"] * nsite)}
+SolverOptions=none
+TargetElectronsUp={nup}
+TargetElectronsDown={ndown}
+IsPeriodicX=0
+""")
+
+
+def test_immm_basis_size():
+    inp = immm_input(4, 2, 2)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    # orbitals: [2,1,2,1] -> 6 valid modes per spin
+    basis = model.create_basis((2, 2))
+    from math import comb
+    assert basis.up.size == comb(6, 2)
+    assert basis.size == comb(6, 2) ** 2
+
+
+def test_immm_hermitian_and_diag():
+    inp = immm_input(4, 2, 2)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    ham = model.hamiltonian(basis)
+    dense = ham.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-12)
+    # hole-language U: state with everything empty has U contribution
+    # sum over (site, orb) of U_i = 3 * 6 = 18... check via the vacuum
+    vac_basis = model.create_basis((0, 0))
+    vac_diag = float(np.asarray(model.hamiltonian(vac_basis).diag)[0])
+    # U*(1)(1) per valid (site,orb) + Upd*(2-0)(2-0) per O-orb/Cu pair;
+    # O sites 0,2 (2 orbitals each), Cu sites 1,3
+    upd = geom.coupling_matrix(1)
+    expect = 3.0 * 6
+    for i in (0, 2):
+        for orb in range(2):
+            for j in (1, 3):
+                expect_add = upd[i, j] * 4
+                expect += expect_add
+    assert vac_diag == pytest.approx(expect, abs=1e-10)
+
+
+def test_immm_engine_vs_arpack():
+    inp = immm_input(4, 2, 2)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    dense = eng.hamiltonian.to_dense()
+    expect = np.linalg.eigvalsh(dense)[0]
+    assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
