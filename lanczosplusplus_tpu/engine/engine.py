@@ -234,6 +234,29 @@ class Engine:
         bra = np.asarray(self.eigenvector(bra_ket[0]))
         return complex(np.vdot(bra, tmp))
 
+    # -- measure mini-language (reference: Engine.h:208-249) --------------
+
+    def measure(self, bra_op_ket: str):
+        """'bra|op[site];...|ket' -> <bra| ops |ket> via the rahul
+        method."""
+        from lanczosplusplus_tpu.engine import rahul
+
+        parts = bra_op_ket.split("|")
+        if len(parts) != 3:
+            raise ValueError("measure: only dressed brakets allowed")
+        bra_idx = rahul.parse_braket_level(parts[0])
+        ket_idx = rahul.parse_braket_level(parts[2])
+        tokens = [t for t in parts[1].split(";") if t]
+        ops, sites = [], []
+        for t in tokens:
+            op, site = rahul.parse_op_token(t)
+            ops.append(op)
+            sites.append(site)
+        ket = np.asarray(self.eigenvector(ket_idx))
+        psi_new = rahul.rahul_apply(self.basis, ops, sites, ket)
+        bra = np.asarray(self.eigenvector(bra_idx))
+        return complex(np.vdot(bra, psi_new))
+
     @property
     def geometry(self):
         return self.model.geometry

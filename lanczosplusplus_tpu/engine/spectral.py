@@ -95,16 +95,16 @@ class ContinuedFractionCollection:
             f.write(f"#CONTINUEDFRACTIONCOLLECTION={len(self.items)}\n")
             for cf in self.items:
                 f.write("#Avector\n")
-                f.write(f"#CFEnergy={cf.e0!r}\n")
-                f.write(f"#CFWeight={cf.weight!r}\n")
+                f.write(f"#CFEnergy={float(cf.e0)!r}\n")
+                f.write(f"#CFWeight={float(cf.weight)!r}\n")
                 f.write(f"#CFSign={cf.sigma}\n")
                 f.write(f"#CFMeta={cf.meta}\n")
                 f.write(f"#CFAlphas={len(cf.alphas)}\n")
                 for a in cf.alphas:
-                    f.write(f"{a!r}\n")
+                    f.write(f"{float(a)!r}\n")
                 f.write(f"#CFBetas={len(cf.betas)}\n")
                 for b in cf.betas:
-                    f.write(f"{b!r}\n")
+                    f.write(f"{float(b)!r}\n")
         finally:
             if close:
                 f.close()

@@ -1,0 +1,77 @@
+"""End-to-end CLI tests driving the reference TestSuite inputs."""
+
+import os
+import numpy as np
+import pytest
+
+from lanczosplusplus_tpu.cli import lanczos_main, ed_main
+
+
+def test_lanczos_cli_input0(tmp_path, capsys):
+    """Run the verbatim reference input0.inp end to end."""
+    os.chdir(tmp_path)
+    eng = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp"])
+    out = capsys.readouterr().out
+    assert "Energy=" in out
+    assert eng.ground_energy == pytest.approx(-2 * np.sqrt(5), abs=1e-9)
+
+
+def test_lanczos_cli_gf_and_comb(tmp_path, capsys):
+    os.chdir(tmp_path)
+    eng = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp",
+         "-g", "c", "-s", "0,0"])
+    # TSPSites absent: no pairs unless DOS; add DOS case:
+    text = open("/root/reference/TestSuite/inputs/input0.inp").read()
+    text += "\nComputeDensityOfStates=1\n"
+    inp_path = tmp_path / "in_dos.inp"
+    inp_path.write_text(text)
+    lanczos_main.run(["-f", str(inp_path)])
+    combs = sorted(p for p in os.listdir(tmp_path) if p.endswith(".comb"))
+    assert len(combs) == 4  # one per site
+    from lanczosplusplus_tpu.engine.spectral import read_collection
+    coll = read_collection(str(tmp_path / combs[0]))
+    assert len(coll.items) == 2  # diagonal: types 0 and 1
+    omegas = np.linspace(-15, 15, 3001)
+    g = coll.evaluate(omegas, 0.2)
+    # DOS integrates to ~1 per site per spin
+    total = np.trapezoid(-g.imag / np.pi, omegas)
+    assert total == pytest.approx(1.0, abs=0.05)
+
+
+def test_lanczos_cli_measure_and_cicj(tmp_path, capsys):
+    os.chdir(tmp_path)
+    eng = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp",
+         "-c", "n", "-m", "gs|n[0];n?1[0]|gs", "-r", "2"])
+    out = capsys.readouterr().out
+    assert "Reduced Density Matrix" in out
+    assert "gs|n[0];n?1[0]|gs" in out
+
+
+def test_measure_matches_double_occupancy(tmp_path):
+    """<gs|n_up(0) n_down(0)|gs> via rahul method vs dense."""
+    os.chdir(tmp_path)
+    eng = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp"])
+    val = eng.measure("gs|n[0];n?1[0]|gs")
+    gs = np.asarray(eng.eigenvector(0))
+    from lanczosplusplus_tpu.core import bits as B
+    idx = np.arange(eng.basis.size)
+    nu = B.get_bit(eng.basis.words_up(idx), 0)
+    nd = B.get_bit(eng.basis.words_down(idx), 0)
+    expect = float(np.sum(np.abs(gs) ** 2 * nu * nd))
+    assert val.real == pytest.approx(expect, abs=1e-10)
+
+
+def test_ed_cli(tmp_path, capsys):
+    text = open("/root/reference/TestSuite/inputs/input0.inp").read()
+    text += ("\nTemperatureOrBeta=beta\nTemperatureOrBetaStart=0.5\n"
+             "TemperatureOrBetaTotal=3\nTemperatureOrBetaStep=1.0\n")
+    inp_path = tmp_path / "ed.inp"
+    inp_path.write_text(text)
+    ed = ed_main.run(["-f", str(inp_path)])
+    out = capsys.readouterr().out
+    assert "#tb=beta" in out
+    assert len(out.strip().splitlines()) == 5
