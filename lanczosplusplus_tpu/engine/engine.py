@@ -46,9 +46,38 @@ class Engine:
         self.hamiltonian = model.hamiltonian(
             self.basis, dtype=self.config.scalar_dtype)
         nstates = self.excited + 1
-        self._energies, self._vectors = lz.lowest_states(
-            self.hamiltonian, num_states=nstates,
-            seed=self.config.seed, max_steps=self.config.lanczos_steps)
+        use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
+                        inp.integer("UseReflectionSymmetry", default=0))
+        if use_symmetry:
+            self._solve_with_symmetry(inp, nstates)
+        else:
+            self._energies, self._vectors = lz.lowest_states(
+                self.hamiltonian, num_states=nstates,
+                seed=self.config.seed, max_steps=self.config.lanczos_steps)
+
+    def _solve_with_symmetry(self, inp, nstates):
+        """Sector scan keeping the lowest states (reference:
+        Engine.h:601-657 computeAllStatesBelow over symmetry sectors)."""
+        from lanczosplusplus_tpu.symmetry import build_symmetry
+
+        fermionic = getattr(self.model, "is_fermionic", True)
+        sym = build_symmetry(inp, self.basis, self.model.geometry,
+                             self.model, fermionic=fermionic)
+        best = None
+        for s in range(sym.sectors()):
+            ham_s = sym.block_hamiltonian(s)
+            if ham_s is None or ham_s.dim == 0:
+                continue
+            evals, vecs = lz.lowest_states(
+                ham_s, num_states=min(nstates, ham_s.dim),
+                seed=self.config.seed,
+                max_steps=self.config.lanczos_steps)
+            if best is None or evals[0] < best[0][0]:
+                best = (evals, vecs, s)
+        evals, vecs, sector = best
+        self._energies = evals
+        self._vectors = [sym.transform(np.asarray(v), sector)
+                         for v in vecs]
 
     def energies(self, i: int = 0) -> float:
         return float(self._energies[i])

@@ -183,6 +183,8 @@ def _dosign_gf(words, ind, orb, orbitals):
 class FeBasedScModel:
     TERM_HOPPING, TERM_J_PM, TERM_J_ZZ = 0, 1, 2
 
+    is_fermionic = True
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         self.norb = inp.integer("Orbitals")

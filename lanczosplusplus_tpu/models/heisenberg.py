@@ -112,6 +112,8 @@ def _lower_amp(twice_s, m_val):
 
 
 class HeisenbergModel:
+    is_fermionic = False
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         self.twice_s = inp.integer("HeisenbergTwiceS", default=1)

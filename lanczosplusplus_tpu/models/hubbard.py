@@ -58,6 +58,8 @@ class HubbardParams:
 class HubbardModel:
     TERM_HOPPING, TERM_NINJ, TERM_SUPER = 0, 1, 2
 
+    is_fermionic = True
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         self.params = HubbardParams(inp, geometry.number_of_sites())

@@ -86,6 +86,8 @@ class ImmmBasis:
 
 
 class ImmmModel:
+    is_fermionic = True
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         n = geometry.number_of_sites()

@@ -69,6 +69,8 @@ class RashbaBasis:
 
 
 class RashbaSOCModel:
+    is_fermionic = True
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         if geometry.terms() != 2:

@@ -73,6 +73,8 @@ class TjBasis:
 
 
 class TjMultiOrbModel:
+    is_fermionic = True
+
     def __init__(self, inp, geometry):
         self.geometry = geometry
         self.norb = inp.integer("Orbitals", default=1)

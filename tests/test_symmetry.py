@@ -1,0 +1,122 @@
+"""Symmetry block-diagonalization tests: spectra of the union of blocks
+must equal the full sector spectrum; engine results identical."""
+
+import numpy as np
+import pytest
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.engine import Engine
+from lanczosplusplus_tpu.symmetry import (
+    TranslationSymmetry, ReflectionSymmetry)
+
+HUB = """
+TotalNumberOfSites=4
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 4
+4 4 4 4
+potentialV 8
+0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX={periodic}
+"""
+
+HEIS = """
+TotalNumberOfSites=8
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions=none
+TargetSzPlusConst=4
+IsPeriodicX={periodic}
+"""
+
+
+def setup(text, periodic):
+    inp = parse_input(text.format(periodic=periodic))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis(model.default_parts(inp))
+    return inp, geom, model, basis
+
+
+def block_spectrum_union(sym):
+    evals = []
+    for s in range(sym.sectors()):
+        ham = sym.block_hamiltonian(s)
+        if ham is None or ham.dim == 0:
+            continue
+        evals.append(np.linalg.eigvalsh(ham.to_dense()))
+    return np.sort(np.concatenate(evals))
+
+
+def test_translation_hubbard_spectrum():
+    inp, geom, model, basis = setup(HUB, periodic=1)
+    sym = TranslationSymmetry(basis, geom, model, fermionic=True)
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(model.hamiltonian(basis).to_dense())
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-9)
+    assert sym.sectors() == 4
+
+
+def test_translation_heisenberg_spectrum():
+    inp, geom, model, basis = setup(HEIS, periodic=1)
+    sym = TranslationSymmetry(basis, geom, model, fermionic=False)
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(model.hamiltonian(basis).to_dense())
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-9)
+
+
+def test_reflection_hubbard_spectrum():
+    inp, geom, model, basis = setup(HUB, periodic=0)
+    sym = ReflectionSymmetry(basis, geom, model, fermionic=True)
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(model.hamiltonian(basis).to_dense())
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-9)
+    assert sym.sectors() == 2
+
+
+def test_engine_with_translation_symmetry():
+    text = HUB.format(periodic=1) + "\nUseTranslationSymmetry=1\n"
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    # ground energy must match the plain solve
+    inp2 = parse_input(HUB.format(periodic=1))
+    eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
+    assert eng.ground_energy == pytest.approx(eng2.ground_energy,
+                                              abs=1e-9)
+    # back-transformed ground state solves the full H
+    v = np.asarray(eng.eigenvector(0))
+    full = eng2.hamiltonian.to_dense()
+    r = np.linalg.norm(full @ v - eng.ground_energy * v)
+    assert r < 1e-8
+
+
+def test_engine_with_reflection_symmetry():
+    text = HUB.format(periodic=0) + "\nUseReflectionSymmetry=1\n"
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    inp2 = parse_input(HUB.format(periodic=0))
+    eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
+    assert eng.ground_energy == pytest.approx(eng2.ground_energy,
+                                              abs=1e-9)
