@@ -452,7 +452,8 @@ class FeBasedScModel:
         upw, dnw = src_basis.up.words, src_basis.down.words
         szu_s = src_basis.up.size
         szu_d = dst_basis.up.size
-        pos = site * o + orb
+        orb_scalar = orb if isinstance(orb, (int, np.integer)) else 0
+        pos = site * o + orb_scalar
         up_occ = bits.get_bit(upw, pos)
         dn_occ = bits.get_bit(dnw, pos)
         iu = np.arange(src_basis.up.size, dtype=np.int64)
@@ -472,12 +473,12 @@ class FeBasedScModel:
             if spin == 0:
                 ok = up_occ == want
                 tgt_u = np.where(ok, dst_basis.up.rank(upw ^ flip), 0)
-                sgn = _dosign_gf(upw, site, orb, o).astype(np.float64)
+                sgn = _dosign_gf(upw, site, orb_scalar, o).astype(np.float64)
                 return outer(tgt_u, idn, sgn, np.ones_like(idn, float),
                              ok, np.ones_like(idn, bool))
             ok = dn_occ == want
             tgt_d = np.where(ok, dst_basis.down.rank(dnw ^ flip), 0)
-            sgn_d = _dosign_gf(dnw, site, orb, o).astype(np.float64)
+            sgn_d = _dosign_gf(dnw, site, orb_scalar, o).astype(np.float64)
             # crossing all up electrons (BasisFeAsBasedSc.h:170-178)
             sgn_u = np.where(bits.popcount(upw) & 1, -1.0, 1.0)
             return outer(iu, tgt_d, sgn_u, sgn_d,
@@ -492,6 +493,21 @@ class FeBasedScModel:
             return outer(iu, idn, np.ones_like(iu, float),
                          occ.astype(float), np.ones_like(iu, bool),
                          occ == 1)
+
+        if name == ops.CDAGGER_A_UP_C_B_UP:
+            # c^dag_{orb a, up} c_{orb b, up} at the site, value 1, same
+            # sector (reference: BasisFeAsBasedSc.h:139-141, 381-399;
+            # non-fermionic label so no string sign is applied there)
+            a, b = orb if isinstance(orb, (tuple, list)) else (0, 1)
+            pa, pb = site * o + a, site * o + b
+            occ_a = bits.get_bit(upw, pa)
+            occ_b = bits.get_bit(upw, pb)
+            ok = (occ_b == 1) & (occ_a == 0)
+            flip = (WORD(1) << WORD(pa)) | (WORD(1) << WORD(pb))
+            tgt_u = np.where(ok, dst_basis.up.rank(upw ^ flip), 0)
+            return outer(tgt_u, idn, ok.astype(float),
+                         np.ones_like(idn, float), ok,
+                         np.ones_like(idn, bool))
 
         if name == ops.SZ:
             val = up_occ[None, :] - dn_occ[:, None]

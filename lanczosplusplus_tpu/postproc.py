@@ -1,0 +1,81 @@
+"""Built-in post-processing: S(q, omega), N(i, omega), momentum
+assembly.
+
+Replaces the reference's Perl pipeline (scripts/sqomega.pl,
+scripts/niomega.pl, scripts/dynamicsFt.pl) which shells out to the
+lanczos binary and PsimagLite's continuedFractionCollection evaluator;
+here everything runs in-process against an Engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lanczosplusplus_tpu.engine.spectral import ContinuedFractionCollection
+
+
+def site_resolved_gf(engine, op_name: str, center: int, spin=0,
+                     orbs=(0, 0)):
+    """G(center, i, omega) continued fractions for every site i
+    (the sqomega.pl TSPCenter loop, sqomega.pl:15-33)."""
+    n = engine.geometry.number_of_sites()
+    out = []
+    for i in range(n):
+        coll, _ = engine.spectral_function(op_name, center, i, spin=spin,
+                                           orbs=orbs)
+        out.append(coll)
+    return out
+
+
+def sq_omega(engine, op_name: str, omegas, delta, spin=0, orbs=(0, 0),
+             center=None):
+    """S(q, omega): site-pair spectra Fourier transformed to momentum.
+
+    The engine's off-diagonal collection is the symmetrized
+    G_ci + G_ic (Engine 4-type decomposition), so off-center pairs get
+    factor 0.5 and the center gets 1.0 — with this weighting the q=0
+    channel of an Sz-conserving ground state vanishes exactly.
+    (The reference script sqomega.pl:52 uses the inverse convention,
+    0.5 at the center, which double counts the off-diagonal pairs
+    against its own .comb contents.)  Returns the complex assembled
+    G(q, omega); intensity convention -Im/pi is the caller's."""
+    n = engine.geometry.number_of_sites()
+    if center is None:
+        center = n // 2 - 1
+    colls = site_resolved_gf(engine, op_name, center, spin, orbs)
+    vals = np.array([c.evaluate(omegas, delta) for c in colls])  # (n, nw)
+    qs = 2.0 * np.pi * np.arange(n) / n
+    out = np.zeros((n, len(omegas)), dtype=np.complex128)
+    for m, q in enumerate(qs):
+        for i in range(n):
+            factor = 1.0 if i == center else 0.5
+            out[m] += vals[i] * np.cos(q * (i - center)) * factor
+    return qs, out
+
+
+def ni_omega(engine, omegas, delta, spin=0, orb=0):
+    """N(i, omega) = -Im G_c(i, i, omega)/pi for every site
+    (reference: niomega.pl:17-53)."""
+    n = engine.geometry.number_of_sites()
+    out = np.zeros((n, len(omegas)))
+    for i in range(n):
+        coll, _ = engine.spectral_function("c", i, i, spin=spin,
+                                           orbs=(orb, orb))
+        out[i] = -coll.evaluate(omegas, delta).imag / np.pi
+    return out
+
+
+def assemble_from_comb_files(paths, omegas, delta, center, nsites):
+    """File-based S(q, omega) assembly for .comb files written by the
+    CLI (the exact sqomega.pl file pipeline)."""
+    from lanczosplusplus_tpu.engine.spectral import read_collection
+
+    vals = np.array([read_collection(p).evaluate(omegas, delta)
+                     for p in paths])
+    qs = 2.0 * np.pi * np.arange(nsites) / nsites
+    out = np.zeros((nsites, len(omegas)), dtype=np.complex128)
+    for m, q in enumerate(qs):
+        for i in range(len(paths)):
+            factor = 1.0 if i == center else 0.5
+            out[m] += vals[i] * np.cos(q * (i - center)) * factor
+    return qs, out
