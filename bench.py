@@ -49,6 +49,7 @@ def main():
     platform = jax.devices()[0].platform
     nsite = 14 if platform != "cpu" else 10
     ham, basis = build_hamiltonian(nsite)
+    ham = ham.densify_factors()
     dim = ham.dim
 
     matvec = jax.jit(lambda h, x: h.matvec(x))

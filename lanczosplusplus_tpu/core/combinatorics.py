@@ -67,11 +67,17 @@ def unrank_combinations(ranks: np.ndarray, nsite: int, npart: int,
 
 def enumerate_combinations(nsite: int, npart: int) -> np.ndarray:
     """All C(nsite, npart) words in colex order (matches the reference's
-    next-permutation enumeration order, BasisOneSpin.h:52-62)."""
+    next-permutation enumeration order, BasisOneSpin.h:52-62).  Large
+    bases route through the native C++ enumerator when built."""
     table = binomial_table(nsite + 1)
     dim = int(table[nsite, npart])
     if npart == 0:
         return np.zeros(1, dtype=WORD)
+    if dim >= (1 << 16):
+        from lanczosplusplus_tpu import native
+        out = native.enumerate_combinations(nsite, npart)
+        if out is not None:
+            return out
     return unrank_combinations(np.arange(dim), nsite, npart, table)
 
 

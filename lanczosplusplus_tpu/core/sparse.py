@@ -91,22 +91,44 @@ class EllPart:
 class SpinFactorizedPart:
     """Kronecker-structured one-spin hop maps.
 
-    x is viewed as X[size_down, size_up]; `up` gathers along axis 1
+    x is viewed as X[size_down, size_up]; `up` acts along axis 1
     (I_down (x) A_up), `dn` along axis 0 (A_dn (x) I_up).
+
+    Two execution strategies:
+    - gather form (`*_cols`/`*_vals` ELL maps): bandwidth-bound, used
+      when the dense factors would not fit;
+    - dense form (`up_dense`/`dn_dense`): the one-spin operators are
+      materialized as (size, size) matrices and applied as GEMMs —
+      Y += X @ up_dense^T; Y += dn_dense @ X — which puts the whole
+      Lanczos hot loop on the MXU.  For a half-filled n-site Hubbard
+      chain the factor is C(n, n/2)^2 entries (47 MB at n=14), far
+      below HBM while the matmul runs orders of magnitude faster than
+      the column gather.
     """
     up_cols: Optional[jax.Array]  # (size_up, Ku) int32
     up_vals: Optional[jax.Array]
     dn_cols: Optional[jax.Array]  # (size_down, Kd) int32
     dn_vals: Optional[jax.Array]
+    up_dense: Optional[jax.Array] = None  # (size_up, size_up)
+    dn_dense: Optional[jax.Array] = None  # (size_down, size_down)
 
     def apply(self, x2d):
-        # one whole-matrix gather per ELL slot k: avoids a (szd, szu, K)
-        # intermediate; K is small and static so the loop unrolls.
         y = jnp.zeros_like(x2d)
-        if self.up_cols is not None:
+        if self.up_dense is not None:
+            # y[d, u] += sum_c A_u[u, c] x[d, c]
+            y = y + jax.lax.dot_general(
+                x2d, self.up_dense,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=x2d.dtype)
+        elif self.up_cols is not None:
             for k in range(self.up_cols.shape[1]):
                 y = y + self.up_vals[None, :, k] * x2d[:, self.up_cols[:, k]]
-        if self.dn_cols is not None:
+        if self.dn_dense is not None:
+            y = y + jax.lax.dot_general(
+                self.dn_dense, x2d,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=x2d.dtype)
+        elif self.dn_cols is not None:
             for k in range(self.dn_cols.shape[1]):
                 y = y + self.dn_vals[:, k, None] * x2d[self.dn_cols[:, k], :]
         return y
@@ -172,6 +194,41 @@ class Hamiltonian:
             if f.dn_cols is not None:
                 n += self.spin_shape[1] * int(np.prod(f.dn_cols.shape))
         return n
+
+    def densify_factors(self, max_bytes: int = 2 << 30) -> "Hamiltonian":
+        """Materialize the Kronecker one-spin factors as dense matrices
+        when they fit in `max_bytes`, so matvec runs as MXU GEMMs."""
+        f = self.factorized
+        if f is None:
+            return self
+        szd, szu = self.spin_shape
+
+        def densify(cols, vals, size):
+            if cols is None:
+                return None
+            itemsize = np.dtype(vals.dtype).itemsize
+            if size * size * itemsize > max_bytes:
+                return None
+            c = np.asarray(cols)
+            v = np.asarray(vals)
+            a = np.zeros((size, size), dtype=v.dtype)
+            r = np.repeat(np.arange(size), c.shape[1])
+            np.add.at(a, (r, c.reshape(-1)), v.reshape(-1))
+            return jnp.asarray(a)
+
+        up_d = densify(f.up_cols, f.up_vals, szu)
+        dn_d = densify(f.dn_cols, f.dn_vals, szd)
+        if up_d is None and dn_d is None:
+            return self
+        # the ELL maps are kept alongside (they are tiny) so
+        # flatten_to_ell/to_dense keep working on the gather form
+        return Hamiltonian(
+            diag=self.diag, ell=self.ell,
+            factorized=SpinFactorizedPart(
+                up_cols=f.up_cols, up_vals=f.up_vals,
+                dn_cols=f.dn_cols, dn_vals=f.dn_vals,
+                up_dense=up_d, dn_dense=dn_d),
+            spin_shape=self.spin_shape)
 
     def flatten_to_ell(self) -> "Hamiltonian":
         """Merge factorized Kronecker parts into one generic ELL block.
@@ -274,6 +331,18 @@ def one_spin_ell(words: np.ndarray, rank_fn, bonds, dtype) -> tuple:
 
     sz = words.shape[0]
     nb = max(len(bonds), 1)
+    # the native fast path computes colex ranks directly, so it only
+    # applies when rank_fn is a plain combination-basis rank
+    owner = getattr(rank_fn, "__self__", None)
+    if (sz >= (1 << 16) and bonds and
+            type(owner).__name__ == "OneSpinBasis" and
+            not np.iscomplexobj(np.zeros(0, dtype))):
+        from lanczosplusplus_tpu import native
+        from lanczosplusplus_tpu.core.combinatorics import binomial_table
+        table = binomial_table(64 + 1)
+        out = native.one_spin_hop_ell(words, bonds, table)
+        if out is not None:
+            return out[0], out[1].astype(dtype)
     cols = np.tile(np.arange(sz, dtype=np.int64)[:, None], (1, nb))
     vals = np.zeros((sz, nb), dtype=dtype)
     for k, (i, j, t) in enumerate(bonds):

@@ -244,3 +244,18 @@ def brute_force_hubbard(nsite, nup, ndown, tmat, u, v, wmat=None, jmat=None):
                     col = index[(r4[0], r3[0])]
                     H[col, row] += 2 * amps * r1[1] * r2[1] * r3[1] * r4[1]
     return H
+
+
+def test_densified_factors_match_gather():
+    inp = parse_input(INPUT0.replace("hubbardU 4\n0 0 0 0",
+                                     "hubbardU 4\n4 4 4 4"))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    ham = model.hamiltonian(basis)
+    dense_ham = ham.densify_factors()
+    assert dense_ham.factorized.up_dense is not None
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(basis.size)
+    np.testing.assert_allclose(np.asarray(dense_ham.matvec(x)),
+                               np.asarray(ham.matvec(x)), atol=1e-11)
