@@ -15,6 +15,7 @@ matmul + psum when the Hamiltonian is row-partitioned over a mesh.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -24,10 +25,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _lanczos_scan(ham, v0, steps: int):
-    dim = v0.shape[0]
-    dtype = v0.dtype
+@jax.jit
+def _lanczos_chunk(ham, V, v, js):
+    """Run len(js) Lanczos steps continuing from (V, v); js are the
+    global step indices written into V."""
 
     def body(carry, j):
         V, v = carry
@@ -44,10 +45,44 @@ def _lanczos_scan(ham, v0, steps: int):
         v_next = jnp.where(beta > 0, w / safe, jnp.zeros_like(w))
         return (V, v_next), (alpha, beta)
 
-    V0 = jnp.zeros((steps, dim), dtype=dtype)
-    (V, _), (alphas, betas) = jax.lax.scan(
-        body, (V0, v0), jnp.arange(steps))
-    return V, alphas, betas
+    (V, v), (alphas, betas) = jax.lax.scan(body, (V, v), js)
+    return V, v, alphas, betas
+
+
+def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None):
+    """Full run with optional chunked checkpointing: the Krylov basis,
+    (alpha, beta) and the current vector are persisted to
+    `checkpoint`.npz after each chunk and restored on restart — the
+    resume capability the reference lacks (SURVEY.md section 5)."""
+    dim = v0.shape[0]
+    dtype = v0.dtype
+    V = jnp.zeros((steps, dim), dtype=dtype)
+    v = v0
+    alphas = []
+    betas = []
+    start = 0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        data = np.load(checkpoint)
+        if int(data["steps"]) == steps and int(data["dim"]) == dim:
+            start = int(data["next_step"])
+            V = jnp.asarray(data["V"])
+            v = jnp.asarray(data["v"])
+            alphas = list(data["alphas"])
+            betas = list(data["betas"])
+    chunk = chunk or (steps if checkpoint is None else max(steps // 8, 1))
+    j = start
+    while j < steps:
+        n = min(chunk, steps - j)
+        V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(j, j + n))
+        alphas.extend(np.asarray(a))
+        betas.extend(np.asarray(b))
+        j += n
+        if checkpoint is not None:
+            np.savez(checkpoint,
+                     V=np.asarray(V), v=np.asarray(v),
+                     alphas=np.asarray(alphas), betas=np.asarray(betas),
+                     next_step=j, steps=steps, dim=dim)
+    return V, jnp.asarray(np.asarray(alphas)), jnp.asarray(np.asarray(betas))
 
 
 @dataclass
@@ -58,10 +93,13 @@ class LanczosResult:
     m: int               # effective number of steps before breakdown
 
 
-def tridiagonalize(ham, v0, steps: int) -> LanczosResult:
-    """Run `steps` Lanczos iterations from normalized v0."""
+def tridiagonalize(ham, v0, steps: int, checkpoint=None,
+                   chunk=None) -> LanczosResult:
+    """Run `steps` Lanczos iterations from normalized v0 (optionally
+    checkpointed/resumable, see _lanczos_scan)."""
     steps = int(min(steps, v0.shape[0]))
-    V, alphas, betas = _lanczos_scan(ham, v0, steps)
+    V, alphas, betas = _lanczos_scan(ham, v0, steps, checkpoint=checkpoint,
+                                     chunk=chunk)
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     # trim at breakdown (invariant subspace found)

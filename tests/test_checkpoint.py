@@ -1,0 +1,78 @@
+"""Lanczos checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.solver import lanczos as lz
+
+
+def build_ham():
+    text = """
+TotalNumberOfSites=8
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 8
+4 4 4 4 4 4 4 4
+potentialV 16
+0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=4
+TargetElectronsDown=4
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    return model.hamiltonian(model.create_basis((4, 4)))
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    ham = build_ham()
+    v0 = lz.random_start_vector(ham.dim, 123, np.float64)
+    ref = lz.tridiagonalize(ham, v0, 60)
+
+    ck = str(tmp_path / "lz.npz")
+    # run partially (3 chunks of 10 = 30 steps), abort, then resume
+    import lanczosplusplus_tpu.solver.lanczos as L
+    V, a, b = None, None, None
+    # simulate interruption: run with a tiny steps target first to
+    # populate the checkpoint, then full resume
+    partial_res = L._lanczos_scan(ham, v0, 60, checkpoint=ck, chunk=13)
+    res2 = lz.tridiagonalize(ham, v0, 60, checkpoint=ck, chunk=13)
+    np.testing.assert_allclose(res2.alphas, ref.alphas, atol=1e-10)
+    np.testing.assert_allclose(res2.betas, ref.betas, atol=1e-10)
+
+
+def test_checkpoint_partial_then_resume(tmp_path):
+    ham = build_ham()
+    v0 = lz.random_start_vector(ham.dim, 5, np.float64)
+    ck = str(tmp_path / "lz2.npz")
+    import lanczosplusplus_tpu.solver.lanczos as L
+    # interrupt after one chunk by monkeypatching the chunk runner
+    calls = {"n": 0}
+    orig = L._lanczos_chunk
+
+    def limited(ham_, V, v, js):
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt
+        calls["n"] += 1
+        return orig(ham_, V, v, js)
+
+    L._lanczos_chunk = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            L._lanczos_scan(ham, v0, 60, checkpoint=ck, chunk=10)
+    finally:
+        L._lanczos_chunk = orig
+    # resume completes and matches an uninterrupted run
+    res = lz.tridiagonalize(ham, v0, 60, checkpoint=ck, chunk=10)
+    ref = lz.tridiagonalize(ham, v0, 60)
+    np.testing.assert_allclose(res.alphas, ref.alphas, atol=1e-10)
+    np.testing.assert_allclose(res.betas, ref.betas, atol=1e-10)
