@@ -75,6 +75,22 @@ def main():
     nnz = ham.nnz
     nnz_per_s = nnz / dt
 
+    # amortized full Lanczos iteration rate (matvec + 2x full
+    # reorthogonalization against a 64-deep Krylov basis, one dispatch
+    # for the whole scan)
+    from lanczosplusplus_tpu.solver.lanczos import _lanczos_chunk
+    steps = 64
+    V = jnp.zeros((steps, dim), jnp.float32)
+    v = x / jnp.linalg.norm(x)
+    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(16))
+    jax.block_until_ready(b)
+    _ = float(b[0])
+    t0 = time.perf_counter()
+    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(16, 16 + 32))
+    jax.block_until_ready(b)
+    _ = float(b[-1])
+    lanczos_iter_s = 32 / (time.perf_counter() - t0)
+
     # bytes moved per matvec: index + value per nnz (int32 + f32 for the
     # factorized maps are amortized over the Kronecker batch, but each
     # gathered x element is a real read) + vector reads/writes
@@ -107,6 +123,7 @@ def main():
             "nnz": nnz,
             "ms_per_matvec": round(dt * 1e3, 3),
             "effective_GBps": round(gbps, 1),
+            "lanczos_iters_per_s": round(lanczos_iter_s, 2),
         },
     }))
 

@@ -63,3 +63,46 @@ def jit_lanczos_step(mesh: Mesh):
     return jax.jit(
         lanczos_step,
         out_shardings=(vec, vec, none, none))
+
+
+def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
+                              seed: int = 7239443, max_steps: int = 200):
+    """Row-sharded computeAllStatesBelow over a device mesh.
+
+    The padded ELL Hamiltonian, the state vector and the Krylov basis
+    (second axis) are sharded over `mesh`; the same `_lanczos_chunk`
+    scan runs with XLA inserting the x all-gather for the column gather
+    and psum reductions for the Lanczos scalars.  Returns (energies,
+    vectors) with vectors trimmed back to the unpadded dimension.
+    """
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    orig_dim = ham.dim
+    sham = shard_hamiltonian(ham, mesh)
+    dim = sham.dim
+    steps = int(min(dim, max_steps))
+    v0 = lz.random_start_vector(orig_dim, seed, sham.dtype)
+    v0 = jnp.concatenate([jnp.asarray(v0),
+                          jnp.zeros(dim - orig_dim, dtype=sham.dtype)])
+    v0 = sharded_vector(v0, mesh)
+    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
+                       NamedSharding(mesh, P(None, ROWS)))
+    from lanczosplusplus_tpu.solver.lanczos import _lanczos_chunk
+    V, v, alphas, betas = _lanczos_chunk(sham, V, v0, jnp.arange(steps))
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    scale = max(np.abs(alphas).max(initial=0.0),
+                np.abs(betas).max(initial=0.0), 1.0)
+    m = steps
+    for j in range(steps - 1):
+        if betas[j] <= 1e-12 * scale:
+            m = j + 1
+            break
+    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
+    k = min(num_states, m)
+    w = jnp.asarray(np.vstack([evecs[:, :k],
+                               np.zeros((steps - m, k))]),
+                    dtype=V.dtype)
+    vecs = (V.T @ w).T
+    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+    return evals[:k], np.asarray(vecs)[:, :orig_dim]

@@ -1,0 +1,59 @@
+"""Distributed row-partitioned Lanczos on the virtual 8-device CPU mesh
+(the multi-host validation strategy: SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+import jax
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.parallel import mesh as pmesh
+from lanczosplusplus_tpu.solver import lanczos as lz
+
+
+def build_ham(nsite=8):
+    text = f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU {nsite} {" ".join(["4"] * nsite)}
+potentialV {2 * nsite} {" ".join(["0"] * 2 * nsite)}
+SolverOptions=none
+TargetElectronsUp={nsite // 2}
+TargetElectronsDown={nsite // 2}
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    return model.hamiltonian(model.create_basis((nsite // 2, nsite // 2)))
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_distributed_matvec_matches(ndev):
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:ndev])
+    sham = pmesh.shard_hamiltonian(ham, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(ham.dim)
+    xp = np.concatenate([x, np.zeros(sham.dim - ham.dim)])
+    y_single = np.asarray(ham.matvec(x))
+    y_dist = np.asarray(sham.matvec(pmesh.sharded_vector(xp, mesh)))
+    np.testing.assert_allclose(y_dist[:ham.dim], y_single, atol=1e-10)
+
+
+def test_distributed_lowest_states_matches():
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    evals_d, vecs_d = pmesh.distributed_lowest_states(ham, mesh,
+                                                      max_steps=120)
+    evals_s, vecs_s = lz.lowest_states(ham, max_steps=120)
+    assert evals_d[0] == pytest.approx(evals_s[0], abs=1e-9)
+    # same state up to sign
+    ov = abs(np.vdot(vecs_d[0], np.asarray(vecs_s[0])))
+    assert ov == pytest.approx(1.0, abs=1e-7)
