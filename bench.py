@@ -82,11 +82,13 @@ def main():
     steps = 64
     V = jnp.zeros((steps, dim), jnp.float32)
     v = x / jnp.linalg.norm(x)
-    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(16))
+    # warm up with the same chunk length so the timed call reuses the
+    # compiled executable
+    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(32))
     jax.block_until_ready(b)
     _ = float(b[0])
     t0 = time.perf_counter()
-    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(16, 16 + 32))
+    V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(32, 64))
     jax.block_until_ready(b)
     _ = float(b[-1])
     lanczos_iter_s = 32 / (time.perf_counter() - t0)

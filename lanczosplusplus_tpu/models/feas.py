@@ -189,20 +189,31 @@ class FeBasedScModel:
         self.geometry = geometry
         self.norb = inp.integer("Orbitals")
         mode = inp.string("FeAsMode", default="INT_PAPER33")
-        if mode != "INT_PAPER33":
-            raise NotImplementedError(
-                f"FeAsMode={mode} not implemented yet (INT_PAPER33 only)")
+        if mode not in ("INT_PAPER33", "INT_V", "INT_CODE2",
+                        "INT_IMPURITY", "INT_KSPACE"):
+            raise ValueError(f"unknown FeAsMode={mode}")
+        self.mode = mode
         if inp.has("SpinOrbit"):
             raise NotImplementedError(
                 "onsite SpinOrbit matrix needs the spin-mixing basis; "
                 "not implemented yet")
         u = list(inp.vector("hubbardU"))
-        if len(u) < 4 or len(u) > 6:
-            raise ValueError("FeAsMode INT_PAPER33 expects 4..6 U values")
-        if len(u) < 6:
-            u = u + [0.0] * (6 - len(u))
-            u[4] = u[2]
-            u[5] = 0.0
+        o_ = inp.integer("Orbitals")
+        if mode in ("INT_PAPER33", "INT_IMPURITY"):
+            if len(u) < 4 or len(u) > 6:
+                raise ValueError(f"{mode} expects 4..6 U values")
+            if len(u) < 6:
+                u = u + [0.0] * (6 - len(u))
+                u[4] = u[2]
+                u[5] = 0.0
+        elif mode in ("INT_V", "INT_CODE2"):
+            want = o_ * o_ * (2 if mode == "INT_CODE2" else 1)
+            if len(u) != want:
+                raise ValueError(f"{mode}: expecting {want} U values")
+        elif mode == "INT_KSPACE":
+            if len(u) != 1:
+                raise ValueError("INT_KSPACE: expecting 1 U value")
+        self.coulomb_v = inp.real("CoulombV", default=0.0)
         self.u = np.array(u, dtype=np.float64)
         self.potential_v = np.array(inp.vector("potentialV"),
                                     dtype=np.float64)
@@ -266,10 +277,7 @@ class FeBasedScModel:
         # 2d accumulators over (szd, szu)
         diag2d = np.zeros((szd, szu))
 
-        # U0: intra-orbital double occupancy
-        diag2d += nd @ (u[0] * nu.T)
-
-        # potentialV: v[i + (orb + O*spin)*nsite]
+        # potentialV: v[i + (orb + O*spin)*nsite] — all modes
         vu = np.zeros(n * o)
         vd = np.zeros(n * o)
         for i in range(n):
@@ -277,6 +285,49 @@ class FeBasedScModel:
                 vu[i * o + orb] = self.potential_v[i + orb * n]
                 vd[i * o + orb] = self.potential_v[i + (orb + o) * n]
         diag2d += (nu @ vu)[None, :] + (nd @ vd)[:, None]
+
+        if self.mode in ("INT_V", "INT_CODE2"):
+            # findSdecay (FeBasedSc.h:300-318): U[orb+orb*O] n_up n_dn
+            # per orbital + U[orb+orb2*O] n_tot n_tot for orb2 > orb
+            for i in range(n):
+                for orb in range(o):
+                    a = i * o + orb
+                    diag2d += u[orb + orb * o] * \
+                        nd[:, a][:, None] * nu[:, a][None, :]
+                    for orb2 in range(orb + 1, o):
+                        b = i * o + orb2
+                        na = nu[:, a][None, :] + nd[:, a][:, None]
+                        nb2 = nu[:, b][None, :] + nd[:, b][:, None]
+                        diag2d += u[orb + orb2 * o] * na * nb2
+            return self._diag_tail(diag2d, basis, nu, nd)
+
+        if self.mode == "INT_IMPURITY":
+            # findSImpurity (FeBasedSc.h:625-655): site 0 only
+            for orb in range(o):
+                a = orb
+                diag2d += u[0] * nd[:, a][:, None] * nu[:, a][None, :]
+                for orb2 in range(o):
+                    if orb == orb2:
+                        continue
+                    b = orb2
+                    diag2d += 0.5 * u[1] * \
+                        (nu[:, a] * nu[:, b])[None, :]
+                    diag2d += 0.5 * u[1] * \
+                        (nd[:, a] * nd[:, b])[:, None]
+                    diag2d += u[4] * nu[:, a][None, :] * nd[:, b][:, None]
+            return self._diag_tail(diag2d, basis, nu, nd)
+
+        if self.mode == "INT_KSPACE":
+            # findSkspace (FeBasedSc.h:657-676): site 0;
+            # U0 * n_up(orb) * sum_orb2 n_dn(orb2)
+            ndtot = nd[:, :o].sum(axis=1)
+            nutot = nu[:, :o].sum(axis=1)
+            diag2d += u[0] * ndtot[:, None] * nutot[None, :]
+            return self._diag_tail(diag2d, basis, nu, nd)
+
+        # INT_PAPER33
+        # U0: intra-orbital double occupancy
+        diag2d += nd @ (u[0] * nu.T)
 
         # onsite inter-orbital pairs orb < orb2
         for i in range(n):
@@ -306,7 +357,13 @@ class FeBasedScModel:
             diag2d += 0.125 * (quad_u[None, :] + quad_d[:, None]) \
                 - 0.25 * cross
 
-        # anisotropy D * (sum_orb sz_i)^2
+        return self._diag_tail(diag2d, basis, nu, nd)
+
+    def _diag_tail(self, diag2d, basis, nu, nd):
+        """Anisotropy term shared by all modes (FeBasedSc.h:548-550)."""
+        n = self.geometry.number_of_sites()
+        o = self.norb
+        szu, szd = basis.up.size, basis.down.size
         if self.anisotropy_d:
             site_nu = nu.reshape(szu, n, o).sum(axis=2)
             site_nd = nd.reshape(szd, n, o).sum(axis=2)
@@ -331,11 +388,37 @@ class FeBasedScModel:
 
         hop_pairs = [(a, b) for a in range(nb) for b in range(a + 1, nb)
                      if self.hop[a, b] != 0]
+        is_p33 = self.mode == "INT_PAPER33"
         u2_pairs = [(i * o + o1, i * o + o2) for i in range(n)
                     for o1 in range(o) for o2 in range(o1 + 1, o)
-                    if self.u[2] != 0 or self.u[3] != 0]
+                    if is_p33 and (self.u[2] != 0 or self.u[3] != 0)]
+        # INT_IMPURITY / INT_KSPACE onsite quartic moves at site 0
+        # (setOffDiagonalJimpurity FeBasedSc.h:744-783,
+        # setOffDiagonalKspace FeBasedSc.h:785-827): ordered
+        # (orb1, orb2, orb3, orb4): up moves orb2 -> orb1, down moves
+        # orb4 -> orb3
+        quartics = []
+        if self.mode == "INT_IMPURITY" and self.u[3] != 0:
+            for o1 in range(o):
+                for o2 in range(o):
+                    if o1 == o2:
+                        continue
+                    # type 0: down pair (orb3, orb4) = (o2, o1);
+                    # type 1: (o1, o2)
+                    quartics.append((o1, o2, o2, o1, self.u[3]))
+                    quartics.append((o1, o2, o1, o2, self.u[3]))
+        if self.mode == "INT_KSPACE" and self.u[0] != 0:
+            for o1 in range(o):
+                for o2 in range(o):
+                    if o1 == o2:
+                        continue
+                    for o3 in range(o):
+                        o4 = (o3 + o1 - o2) % o  # momentum conservation
+                        if o3 == o4:
+                            continue
+                        quartics.append((o1, o2, o3, o4, self.u[0]))
         jpm_pairs = []
-        if np.any(self.jpm_site):
+        if is_p33 and np.any(self.jpm_site):
             for i in range(n):
                 for j in range(i + 1, n):
                     if self.jpm_site[i, j] == 0:
@@ -345,7 +428,8 @@ class FeBasedScModel:
                             jpm_pairs.append((i * o + o1, j * o + o2,
                                               self.jpm_site[i, j]))
 
-        k = max(2 * len(hop_pairs) + 2 * len(u2_pairs) + len(jpm_pairs), 1)
+        k = max(2 * len(hop_pairs) + 2 * len(u2_pairs) + len(jpm_pairs)
+                + len(quartics), 1)
         cols = np.tile(np.arange(dim, dtype=np.int64)[:, None], (1, k))
         vals = np.zeros((dim, k), dtype=dtype)
         cols3 = cols.reshape(szd, szu, k)
@@ -413,6 +497,25 @@ class FeBasedScModel:
             cols3[:, :, slot] = np.where(cond, full_idx(up_t, dn_t),
                                          full_idx(base_u, base_d))
             vals3[:, :, slot] = np.where(cond, -self.u[3] * sign, 0)
+            slot += 1
+
+        # onsite quartic moves (INT_IMPURITY / INT_KSPACE), site 0
+        for (o1, o2, o3, o4, coef) in quartics:
+            a1, a2 = o1, o2            # up: remove a2, create a1
+            b3, b4 = o3, o4            # down: remove b4, create b3
+            flip_u = WORD((1 << a1) | (1 << a2))
+            flip_d = WORD((1 << b3) | (1 << b4))
+            ok_u = (occ_u[a2] == 1) & (occ_u[a1] == 0)
+            ok_d = (occ_d[b4] == 1) & (occ_d[b3] == 0)
+            sgn_u = _one_spin_dosign(upw, 0, a1, 0, a2, o)
+            sgn_d = _one_spin_dosign(dnw, 0, b3, 0, b4, o)
+            up_t = basis.up.rank(upw ^ flip_u)
+            dn_t = basis.down.rank(dnw ^ flip_d)
+            cond = ok_u[None, :] & ok_d[:, None]
+            amp = coef * sgn_u[None, :] * sgn_d[:, None]
+            cols3[:, :, slot] = np.where(cond, full_idx(up_t, dn_t),
+                                         full_idx(base_u, base_d))
+            vals3[:, :, slot] = np.where(cond, amp, 0)
             slot += 1
 
         # cross-site J_PM transverse exchange, J/2 per direction
