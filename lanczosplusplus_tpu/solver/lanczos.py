@@ -35,8 +35,9 @@ def _lanczos_chunk(ham, V, v, js):
         V = V.at[j].set(v)
         w = ham.matvec(v)
         alpha = jnp.real(jnp.vdot(v, w))
-        # full reorthogonalization, twice for stability (zero rows of V
-        # are inert)
+        # full reorthogonalization, twice: the second pass keeps the
+        # residual orthogonal even near Krylov-space exhaustion (small
+        # beta), where a single pass lets spurious components explode
         for _ in range(2):
             coeffs = jnp.conj(V) @ w
             w = w - V.T @ coeffs
