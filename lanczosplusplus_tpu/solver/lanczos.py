@@ -164,10 +164,23 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         k = min(num_states, dim)
         return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
 
-    steps = int(min(dim, max_steps))
     v0 = random_start_vector(dim, seed, dtype)
-    res = tridiagonalize(ham, v0, steps)
-    evals, evecs = tridiag_eigh(res.alphas, res.betas)
+    steps = int(min(dim, max_steps))
+    if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
+        tol = max(tol, 1e-6)
+    while True:
+        res = tridiagonalize(ham, v0, steps)
+        evals, evecs = tridiag_eigh(res.alphas, res.betas)
+        # a-posteriori Ritz residual estimate: |beta_m * u[last]|
+        # (standard Lanczos bound) for the requested states
+        k_chk = min(num_states, res.m)
+        resid = abs(res.betas[res.m - 1]) * \
+            np.abs(evecs[res.m - 1, :k_chk]).max()
+        scale = max(np.abs(evals[0]), 1.0)
+        if (res.m < steps or steps >= dim or
+                resid <= tol * scale or steps >= 4 * max_steps):
+            break
+        steps = int(min(dim, steps * 2))  # not converged: extend
     k = min(num_states, res.m)
     vecs = ritz_vectors(res, evecs[:, :k])
     # normalize (Ritz vectors are orthonormal up to reorth tolerance)

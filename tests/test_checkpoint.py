@@ -76,3 +76,12 @@ def test_checkpoint_partial_then_resume(tmp_path):
     ref = lz.tridiagonalize(ham, v0, 60)
     np.testing.assert_allclose(res.alphas, ref.alphas, atol=1e-10)
     np.testing.assert_allclose(res.betas, ref.betas, atol=1e-10)
+
+
+def test_adaptive_convergence_extends_steps():
+    """With a tiny initial step budget, lowest_states must extend until
+    the Ritz residual converges."""
+    ham = build_ham()
+    evals, vecs = lz.lowest_states(ham, num_states=1, max_steps=12)
+    dense_e = np.linalg.eigvalsh(ham.to_dense())[0]
+    assert evals[0] == pytest.approx(dense_e, abs=1e-8)
