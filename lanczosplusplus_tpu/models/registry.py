@@ -28,6 +28,12 @@ def build_model(inp, geometry):
         from lanczosplusplus_tpu.models.tj import TjMultiOrbModel
         return TjMultiOrbModel(inp, geometry)
     if name in ("FeAsBasedSc", "FeAsBasedScExtended"):
+        # a 4x4 SpinOrbit matrix selects the spin-mixing basis variant
+        # (reference: ModelSelector.h:45-96)
+        if inp.has("SpinOrbit"):
+            from lanczosplusplus_tpu.models.feas_spinorbit import \
+                FeAsSpinOrbitModel
+            return FeAsSpinOrbitModel(inp, geometry)
         from lanczosplusplus_tpu.models.feas import FeBasedScModel
         return FeBasedScModel(inp, geometry)
     if name == "Immm":
