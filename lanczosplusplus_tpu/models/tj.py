@@ -78,9 +78,9 @@ class TjMultiOrbModel:
     def __init__(self, inp, geometry):
         self.geometry = geometry
         self.norb = inp.integer("Orbitals", default=1)
-        if inp.integer("JHundInfinity", default=0):
-            raise NotImplementedError(
-                "JHundInfinity reinterpretAndTruncate not implemented yet")
+        self.reinterpret = inp.integer("JHundInfinity", default=0)
+        if self.reinterpret and self.norb != 2:
+            raise ValueError("JHundInfinity needs Orbitals=2")
         n = geometry.number_of_sites()
         nb = n * self.norb
         self.hop = np.zeros((nb, nb))
@@ -275,9 +275,79 @@ class TjMultiOrbModel:
             slot += 1
         ell = EllPart(cols=jnp.asarray(cols.astype(np.int32)),
                       vals=jnp.asarray(vals))
-        return Hamiltonian(
+        ham = Hamiltonian(
             diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
             ell=ell, factorized=None, spin_shape=None)
+        if self.reinterpret:
+            ham = self._reinterpret_and_truncate(ham, basis, dtype)
+        return ham
+
+    # -- JHundInfinity rotation (reference: TjMultiOrb.h:201-294) ---------
+
+    def _reinterpret_and_truncate(self, ham, basis: TjBasis, dtype):
+        """Rotate per-site states 6/9 into bonding/antibonding combos
+        |6'> = (|6>+|9>)/sqrt2, |9'> = (|6>-|9>)/sqrt2, then drop rows
+        containing removed per-site codes (6 always; 0 for level>1;
+        1 or 4 for level>2).  The returned Hamiltonian lives in the
+        truncated rotated basis (as in the reference, which truncates
+        the matrix only); `self.kept_indices` maps back."""
+        import scipy.sparse as sp
+        from lanczosplusplus_tpu.symmetry.blocks import (_ham_to_csr,
+                                                         _csr_to_ell_ham)
+
+        n = self.geometry.number_of_sites()
+        dim = basis.size
+        upw = basis.up_words.astype(np.int64)
+        dnw = basis.dn_words.astype(np.int64)
+        rows, cols_, vals_ = [], [], []
+        targets = set()
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        for s in range(dim):
+            u, d = int(upw[s]), int(dnw[s])
+            codes = [((u >> (2 * i)) & 3) | (((d >> (2 * i)) & 3) << 2)
+                     for i in range(n)]
+            branches = [([], 1.0)]
+            for i, code in enumerate(codes):
+                if code in (6, 9):
+                    newb = []
+                    for (pat, val) in branches:
+                        newb.append((pat + [6], val * inv_sqrt2))
+                        sign = 1.0 if code == 6 else -1.0
+                        newb.append((pat + [9], sign * val * inv_sqrt2))
+                    branches = newb
+                else:
+                    branches = [(pat + [code], val)
+                                for (pat, val) in branches]
+            for (pat, val) in branches:
+                bu = sum((c & 3) << (2 * i) for i, c in enumerate(pat))
+                bd = sum(((c >> 2) & 3) << (2 * i)
+                         for i, c in enumerate(pat))
+                t = int(basis.rank(np.array([bu], dtype=np.uint64),
+                                   np.array([bd], dtype=np.uint64))[0])
+                rows.append(s)
+                cols_.append(t)
+                vals_.append(val)
+                if self._code_removed(pat):
+                    targets.add(t)
+        rot = sp.coo_matrix((vals_, (rows, cols_)),
+                            shape=(dim, dim)).tocsr()
+        h = _ham_to_csr(ham)
+        rotated = rot @ h @ rot.conj().T
+        keep = np.array([i for i in range(dim) if i not in targets],
+                        dtype=np.int64)
+        self.kept_indices = keep
+        truncated = rotated[np.ix_(keep, keep)].tocsr()
+        return _csr_to_ell_ham(truncated, dtype)
+
+    def _code_removed(self, pat) -> bool:
+        for c in pat:
+            if c == 6:
+                return True
+            if self.reinterpret > 1 and c == 0:
+                return True
+            if self.reinterpret > 2 and c in (1, 4):
+                return True
+        return False
 
     # -- operator maps (orbitals == 1, as in reference) -------------------
 

@@ -167,3 +167,45 @@ def test_tj_gs_vs_arpack():
                              matvec=lambda v: np.asarray(ham.matvec(v)))
     e = spla.eigsh(op, k=1, which="SA", return_eigenvectors=False)[0]
     assert eng.ground_energy == pytest.approx(e, abs=1e-8)
+
+
+def test_jhund_infinity_rotation():
+    """JHundInfinity=1 for a 2-site 2-orbital t-J: the rotated+truncated
+    Hamiltonian is hermitian and its spectrum is a subset consistent
+    with projecting out per-site code-6 combos."""
+    def term(v):
+        return f"""DegreesOfFreedom=2
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 2 2
+{v} 0.0
+0.0 {v}
+"""
+    text = (f"TotalNumberOfSites=2\nNumberOfTerms=4\n"
+            + term(-1.0) + term(0.4) + term(0.4) + term(-0.1)
+            + """Model=TjMultiOrb
+Orbitals=2
+JHundInfinity=1
+potentialV 8 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=1
+TargetElectronsDown=1
+IsPeriodicX=0
+""")
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((1, 1))
+    ham = model.hamiltonian(basis)
+    assert ham.dim < basis.size  # truncation happened
+    dense = ham.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-10)
+    # untruncated spectrum for comparison: rotation alone is unitary,
+    # so without truncation spectra would match; with truncation the
+    # remaining eigenvalues interlace the full ones
+    model2 = build_model(parse_input(text.replace("JHundInfinity=1",
+                                                  "JHundInfinity=0")),
+                         geom)
+    full = np.linalg.eigvalsh(model2.hamiltonian(basis).to_dense())
+    trunc = np.linalg.eigvalsh(dense)
+    assert trunc[0] >= full[0] - 1e-10  # Cauchy interlacing lower bound
