@@ -60,6 +60,25 @@ def run(argv=None):
     model = build_model(inp, geometry)
     engine = Engine(model, inp)
 
+    solver_opts = inp.solver_options()
+    if {"printmatrix", "dumpmatrix"} & solver_opts:
+        # debug oracle path (reference: DefaultSymmetry.h:61-94): print
+        # the dense Hamiltonian, assert hermiticity, full-diagonalize
+        ham = engine.hamiltonian
+        if ham.dim <= 4900:
+            dense = ham.to_dense()
+            herm = np.abs(dense - dense.T.conj()).max()
+            if herm > 1e-9:
+                raise SystemExit(f"matrix is not hermitian: {herm}")
+            if "printmatrix" in solver_opts and ham.dim <= 40:
+                print(dense)
+            evals = np.linalg.eigvalsh(dense)
+            print("#FullSpectrum")
+            for e in evals:
+                print(e)
+        else:
+            print("printmatrix too big", file=sys.stderr)
+
     prec = args.precision
     print(f"Energy={engine.ground_energy:.{prec}g}")
     for i in range(len(engine._energies)):

@@ -1,0 +1,56 @@
+"""S(q, omega) / N(i, omega) driver (replaces scripts/sqomega.pl and
+scripts/niomega.pl; runs the whole pipeline in-process)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.engine import Engine
+from lanczosplusplus_tpu import postproc
+
+
+def run(argv=None):
+    p = argparse.ArgumentParser(prog="sqomega++")
+    p.add_argument("-f", dest="input", required=True)
+    p.add_argument("-g", dest="observable", default="sz")
+    p.add_argument("-b", dest="wbegin", type=float, required=True)
+    p.add_argument("-e", dest="wend", type=float, required=True)
+    p.add_argument("-s", dest="wstep", type=float, required=True)
+    p.add_argument("-d", dest="wdelta", type=float, required=True)
+    p.add_argument("--spin", type=int, default=0)
+    p.add_argument("--dos", action="store_true",
+                   help="N(i, omega) per site instead of S(q, omega)")
+    args = p.parse_args(argv)
+
+    inp = read_input(args.input)
+    geometry = Geometry(inp)
+    model = build_model(inp, geometry)
+    engine = Engine(model, inp)
+    omegas = np.arange(args.wbegin, args.wend + 1e-12, args.wstep)
+    if args.dos:
+        dos = postproc.ni_omega(engine, omegas, args.wdelta,
+                                spin=args.spin)
+        for wi, w in enumerate(omegas):
+            print(w, " ".join(f"{dos[i, wi]:.8g}"
+                              for i in range(dos.shape[0])))
+        return dos
+    qs, sqw = postproc.sq_omega(engine, args.observable, omegas,
+                                args.wdelta, spin=args.spin)
+    intensity = -sqw.imag / np.pi
+    for wi, w in enumerate(omegas):
+        print(w, " ".join(f"{intensity[m, wi]:.8g}"
+                          for m in range(len(qs))))
+    return qs, sqw
+
+
+def main():
+    run()
+
+
+if __name__ == "__main__":
+    main()

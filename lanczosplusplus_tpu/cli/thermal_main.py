@@ -1,0 +1,64 @@
+"""The `thermal` driver: grand-canonical averages + correlator poles.
+
+Replaces the reference's dumpmatrix -> grandCanonical.pl -> thermal
+pipeline (reference: src/thermal.cpp:232-314 CLI: -f file -c operator
+-b beta -s site1[,site2] [-m mu] [-C constant]) with an in-process
+sector sweep: the input file defines the model; all (nup, ndown)
+sectors are full-diagonalized directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.engine.thermal import GrandCanonical
+
+
+def run(argv=None):
+    p = argparse.ArgumentParser(prog="thermal++")
+    p.add_argument("-f", dest="input", required=True)
+    p.add_argument("-c", dest="operator", default="i",
+                   help="operator name or 'i' for Z/density/energy only")
+    p.add_argument("-b", dest="beta", type=float, required=True)
+    p.add_argument("-s", dest="sites", default="0",
+                   help="site1[,site2]")
+    p.add_argument("-m", dest="mu", type=float, default=0.0)
+    p.add_argument("-C", dest="constant", type=float, default=0.0)
+    p.add_argument("--spin", type=int, default=0)
+    args = p.parse_args(argv)
+
+    inp = read_input(args.input)
+    geometry = Geometry(inp)
+    model = build_model(inp, geometry)
+    name = inp.string("Model")
+    kind = "tj" if name == "TjMultiOrb" else "hubbard"
+    gc = GrandCanonical(model, geometry.number_of_sites(), kind=kind)
+    z = gc.partition(args.beta, args.mu, args.constant)
+    print(f"density={gc.density(args.beta, args.mu, args.constant)} "
+          f"zPartition={z}", file=sys.stderr)
+    print(f"energy={gc.energy(args.beta, args.mu, args.constant)} "
+          f"zPartition={z}", file=sys.stderr)
+    if args.operator != "i":
+        sites = [int(x) for x in args.sites.split(",")]
+        if len(sites) == 1:
+            sites = [sites[0], sites[0]]
+        poles, total = gc.correlation_poles(
+            args.operator, tuple(sites), args.spin, args.beta, args.mu,
+            args.constant)
+        for om, w in poles:
+            print(f"{om} {w}")
+        print(f"operator={args.operator} beta={args.beta} mu={args.mu} "
+              f"partition={z} sum={total}", file=sys.stderr)
+    return gc
+
+
+def main():
+    run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,8 @@
 """End-to-end CLI tests driving the reference TestSuite inputs."""
 
 import os
+import sys
+sys.path.insert(0, "tests")
 import numpy as np
 import pytest
 
@@ -75,3 +77,42 @@ def test_ed_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "#tb=beta" in out
     assert len(out.strip().splitlines()) == 5
+
+
+def test_input10_dumpmatrix_full_spectrum(tmp_path, capsys):
+    """input10.inp verbatim: dumpmatrix prints the full spectrum, which
+    must equal the analytic Rashba dispersion."""
+    os.chdir(tmp_path)
+    eng = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input10.inp"])
+    out = capsys.readouterr().out
+    assert "#FullSpectrum" in out
+    lines = out.split("#FullSpectrum")[1].strip().splitlines()
+    evals = np.array([float(x) for x in lines[:8]])
+    from test_rashba import dispersion_oracle
+    np.testing.assert_allclose(np.sort(evals),
+                               dispersion_oracle(4, -1.0, 7.0),
+                               atol=1e-9)
+
+
+def test_thermal_cli(tmp_path, capsys):
+    from lanczosplusplus_tpu.cli import thermal_main
+    gc = thermal_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp",
+         "-c", "c", "-b", "1.5", "-s", "0", "-m", "0.5"])
+    err = capsys.readouterr().err
+    assert "density=" in err and "energy=" in err
+
+
+def test_sqomega_cli(tmp_path, capsys):
+    from lanczosplusplus_tpu.cli import sqomega_main
+    import sys
+    sys.path.insert(0, "tests")
+    text = open("/root/reference/TestSuite/inputs/input0.inp").read()
+    path = tmp_path / "sq.inp"
+    path.write_text(text)
+    out = sqomega_main.run(["-f", str(path), "-g", "sz",
+                            "-b", "-3", "-e", "3", "-s", "0.5",
+                            "-d", "0.1"])
+    cap = capsys.readouterr().out
+    assert len(cap.strip().splitlines()) == 13
