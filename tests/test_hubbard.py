@@ -259,3 +259,43 @@ def test_densified_factors_match_gather():
     x = rng.standard_normal(basis.size)
     np.testing.assert_allclose(np.asarray(dense_ham.matvec(x)),
                                np.asarray(ham.matvec(x)), atol=1e-11)
+
+
+def test_kane_mele_two_term_hoppings():
+    """KaneMeleHubbard: hoppings are the sum of geometry terms 0 and 1
+    (reference HubbardHelper.h:63-66)."""
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -0.25
+Model=KaneMeleHubbard
+hubbardU 4
+2 2 2 2
+potentialV 8
+0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    np.testing.assert_allclose(model.hoppings,
+                               geom.coupling_matrix(0) +
+                               geom.coupling_matrix(1))
+    eng = Engine(model, inp)
+    # equivalent single-term model with t = -1.25
+    text2 = INPUT0.replace("hubbardU 4\n0 0 0 0", "hubbardU 4\n2 2 2 2") \
+        .replace("Connectors 1 -1.0", "Connectors 1 -1.25")
+    inp2 = parse_input(text2)
+    eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
+    assert eng.ground_energy == pytest.approx(eng2.ground_energy,
+                                              abs=1e-10)
