@@ -182,6 +182,46 @@ class Hamiltonian:
             y = y + self.ell.apply(x)
         return y
 
+    def matmat(self, x):
+        """Batched SpMM: apply H to the columns of x (dim, k) — block
+        Lanczos / batched spectral runs amortize index traffic over the
+        block (the north-star's batched SpMM)."""
+        y = self.diag[:, None] * x
+        if self.factorized is not None:
+            f = self.factorized
+            szd, szu = self.spin_shape
+            k = x.shape[1]
+            # (szd, szu, k) batched view; dense factors stay on the MXU
+            x3 = x.reshape(szd, szu, k)
+            if f.up_dense is not None:
+                y3 = jax.lax.dot_general(
+                    f.up_dense, x3,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=x.dtype)  # (szu, szd, k)
+                y = y + jnp.transpose(y3, (1, 0, 2)).reshape(-1, k)
+            elif f.up_cols is not None:
+                acc = jnp.zeros_like(x3)
+                for kk in range(f.up_cols.shape[1]):
+                    acc = acc + f.up_vals[None, :, kk, None] * \
+                        x3[:, f.up_cols[:, kk], :]
+                y = y + acc.reshape(-1, k)
+            if f.dn_dense is not None:
+                y3 = jax.lax.dot_general(
+                    f.dn_dense, x3,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=x.dtype)  # (szd, szu, k)
+                y = y + y3.reshape(-1, k)
+            elif f.dn_cols is not None:
+                acc = jnp.zeros_like(x3)
+                for kk in range(f.dn_cols.shape[1]):
+                    acc = acc + f.dn_vals[:, kk, None, None] * \
+                        x3[f.dn_cols[:, kk], :, :]
+                y = y + acc.reshape(-1, k)
+        if self.ell is not None:
+            y = y + jnp.einsum("rk,rkb->rb", self.ell.vals,
+                               x[self.ell.cols, :])
+        return y
+
     @property
     def nnz(self) -> int:
         n = self.dim  # diagonal
