@@ -121,8 +121,15 @@ class SpinFactorizedPart:
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=x2d.dtype)
         elif self.up_cols is not None:
+            # column gathers are slow on TPU (lane-dimension scatter
+            # of reads); transpose once and turn them into contiguous
+            # row gathers, then transpose back
+            xt = x2d.T  # (szu, szd)
+            acc = jnp.zeros_like(xt)
             for k in range(self.up_cols.shape[1]):
-                y = y + self.up_vals[None, :, k] * x2d[:, self.up_cols[:, k]]
+                acc = acc + self.up_vals[:, k, None] * \
+                    xt[self.up_cols[:, k], :]
+            y = y + acc.T
         if self.dn_dense is not None:
             y = y + jax.lax.dot_general(
                 self.dn_dense, x2d,
