@@ -116,3 +116,19 @@ def test_sqomega_cli(tmp_path, capsys):
                             "-d", "0.1"])
     cap = capsys.readouterr().out
     assert len(cap.strip().splitlines()) == 13
+
+
+def test_input100_and_104_end_to_end(tmp_path, capsys):
+    """The two FeAs TestSuite inputs run verbatim; input104 differs by
+    AnisotropyD and must shift the ground-state energy."""
+    os.chdir(tmp_path)
+    eng100 = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input100.inp"])
+    eng104 = lanczos_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input104.inp"])
+    # regression goldens (established by this framework; the C++
+    # reference is unbuildable here — see BASELINE.md)
+    assert eng100.ground_energy == pytest.approx(-3.099464014219,
+                                                 abs=1e-8)
+    assert eng104.ground_energy == pytest.approx(4.205534707006,
+                                                 abs=1e-8)
