@@ -36,10 +36,15 @@ class Engine:
     energies/eigenvectors plus observable calculations."""
 
     def __init__(self, model, inp, config: Config | None = None):
+        from lanczosplusplus_tpu.utils.progress import ProgressIndicator
+
+        self.progress = ProgressIndicator("Engine")
         self.model = model
         self.inp = inp
         self.config = config or Config(
-            use_complex="useComplex" in inp.solver_options())
+            use_complex="useComplex" in inp.solver_options(),
+            lanczos_steps=inp.integer("LanczosSteps", default=200),
+            lanczos_eps=inp.real("LanczosEps", default=1e-12))
         self.excited = inp.integer("Excited", default=0)
         self.parts = model.default_parts(inp)
         self.basis = model.create_basis(self.parts)
@@ -48,12 +53,15 @@ class Engine:
         nstates = self.excited + 1
         use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
                         inp.integer("UseReflectionSymmetry", default=0))
-        if use_symmetry:
-            self._solve_with_symmetry(inp, nstates)
-        else:
-            self._energies, self._vectors = lz.lowest_states(
-                self.hamiltonian, num_states=nstates,
-                seed=self.config.seed, max_steps=self.config.lanczos_steps)
+        with self.progress.phase(
+                f"diagonalization dim={self.basis.size}"):
+            if use_symmetry:
+                self._solve_with_symmetry(inp, nstates)
+            else:
+                self._energies, self._vectors = lz.lowest_states(
+                    self.hamiltonian, num_states=nstates,
+                    seed=self.config.seed,
+                    max_steps=self.config.lanczos_steps)
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:
@@ -88,6 +96,24 @@ class Engine:
     @property
     def ground_energy(self) -> float:
         return self.energies(0)
+
+    # -- sector caches (spectral pipelines revisit the same N+-1
+    #    sectors for every site pair / operator type) ---------------------
+
+    def _cached_basis(self, parts):
+        if not hasattr(self, "_basis_cache"):
+            self._basis_cache = {}
+        if parts not in self._basis_cache:
+            self._basis_cache[parts] = self.model.create_basis(parts)
+        return self._basis_cache[parts]
+
+    def _cached_hamiltonian(self, parts):
+        if not hasattr(self, "_ham_cache"):
+            self._ham_cache = {}
+        if parts not in self._ham_cache:
+            self._ham_cache[parts] = self.model.hamiltonian(
+                self._cached_basis(parts), dtype=self.config.scalar_dtype)
+        return self._ham_cache[parts]
 
     # -- operator application across sectors ------------------------------
 
@@ -146,8 +172,9 @@ class Engine:
                     self.parts, op, spin, orbs[0])
                 if new_parts is None:
                     continue
-                basis_new = self.model.create_basis(new_parts)
+                basis_new = self._cached_basis(new_parts)
             else:
+                new_parts = self.parts
                 basis_new = self.basis
             modif = np.zeros(basis_new.size, dtype=gs.dtype)
             self.acc_modified_state(modif, op, basis_new, gs, self.basis,
@@ -156,8 +183,7 @@ class Engine:
                 isign = -1.0 if type_ > 1 else 1.0
                 self.acc_modified_state(modif, op, basis_new, gs, self.basis,
                                         jsite, spin, orbs[1], isign)
-            ham_new = self.model.hamiltonian(
-                basis_new, dtype=self.config.scalar_dtype)
+            ham_new = self._cached_hamiltonian(new_parts)
             cf = self._calc_spectral(ham_new, op.is_fermionic, modif,
                                      type_, is_diagonal)
             cf.meta = f"{spin},{type_},{orbs[0]},{orbs[1]}"
@@ -209,7 +235,7 @@ class Engine:
                                                  orbs[0])
             if new_parts is None:
                 return None
-            basis_new = self.model.create_basis(new_parts)
+            basis_new = self._cached_basis(new_parts)
         else:
             basis_new = self.basis
         bra = np.asarray(self.eigenvector(bra_ket[0]))
