@@ -28,19 +28,38 @@ import jax.numpy as jnp
 @jax.jit
 def _lanczos_chunk(ham, V, v, js):
     """Run len(js) Lanczos steps continuing from (V, v); js are the
-    global step indices written into V."""
+    global step indices written into V.
+
+    V may be stored in a lower precision than v (e.g. bfloat16): the
+    reorthogonalization GEMVs then read half the bytes — the dominant
+    memory traffic of a Lanczos step — while alpha/beta and the state
+    vector stay in the compute dtype.  Low-precision V degrades
+    orthogonality to ~1e-3 and is only for throughput-oriented runs.
+    """
+
+    low_v = V.dtype != v.dtype
 
     def body(carry, j):
         V, v = carry
-        V = V.at[j].set(v)
+        V = V.at[j].set(v.astype(V.dtype))
         w = ham.matvec(v)
         alpha = jnp.real(jnp.vdot(v, w))
         # full reorthogonalization, twice: the second pass keeps the
         # residual orthogonal even near Krylov-space exhaustion (small
         # beta), where a single pass lets spurious components explode
         for _ in range(2):
-            coeffs = jnp.conj(V) @ w
-            w = w - V.T @ coeffs
+            if low_v:
+                coeffs = jax.lax.dot_general(
+                    jnp.conj(V), w.astype(V.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=w.dtype)
+                w = w - jax.lax.dot_general(
+                    V, coeffs.astype(V.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=w.dtype)
+            else:
+                coeffs = jnp.conj(V) @ w
+                w = w - V.T @ coeffs
         beta = jnp.linalg.norm(w)
         safe = jnp.where(beta > 0, beta, 1.0)
         v_next = jnp.where(beta > 0, w / safe, jnp.zeros_like(w))
@@ -50,14 +69,15 @@ def _lanczos_chunk(ham, V, v, js):
     return V, v, alphas, betas
 
 
-def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None):
+def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
+                  reorth_dtype=None):
     """Full run with optional chunked checkpointing: the Krylov basis,
     (alpha, beta) and the current vector are persisted to
     `checkpoint`.npz after each chunk and restored on restart — the
     resume capability the reference lacks (SURVEY.md section 5)."""
     dim = v0.shape[0]
     dtype = v0.dtype
-    V = jnp.zeros((steps, dim), dtype=dtype)
+    V = jnp.zeros((steps, dim), dtype=reorth_dtype or dtype)
     v = v0
     alphas = []
     betas = []
@@ -95,12 +115,14 @@ class LanczosResult:
 
 
 def tridiagonalize(ham, v0, steps: int, checkpoint=None,
-                   chunk=None) -> LanczosResult:
+                   chunk=None, reorth_dtype=None) -> LanczosResult:
     """Run `steps` Lanczos iterations from normalized v0 (optionally
-    checkpointed/resumable, see _lanczos_scan)."""
+    checkpointed/resumable; optionally with a low-precision Krylov
+    basis, see _lanczos_scan)."""
     steps = int(min(steps, v0.shape[0]))
     V, alphas, betas = _lanczos_scan(ham, v0, steps, checkpoint=checkpoint,
-                                     chunk=chunk)
+                                     chunk=chunk,
+                                     reorth_dtype=reorth_dtype)
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     # trim at breakdown (invariant subspace found)

@@ -9,7 +9,7 @@ from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.solver import lanczos as lz
 
 
-def build_ham():
+def build_ham(dtype=np.float64):
     text = """
 TotalNumberOfSites=8
 NumberOfTerms=1
@@ -30,7 +30,7 @@ IsPeriodicX=1
     inp = parse_input(text)
     geom = Geometry(inp)
     model = build_model(inp, geom)
-    return model.hamiltonian(model.create_basis((4, 4)))
+    return model.hamiltonian(model.create_basis((4, 4)), dtype=dtype)
 
 
 def test_checkpoint_resume_identical(tmp_path):
@@ -85,3 +85,16 @@ def test_adaptive_convergence_extends_steps():
     evals, vecs = lz.lowest_states(ham, num_states=1, max_steps=12)
     dense_e = np.linalg.eigvalsh(ham.to_dense())[0]
     assert evals[0] == pytest.approx(dense_e, abs=1e-8)
+
+
+def test_bf16_krylov_basis_accuracy():
+    """bfloat16 V: ground energy still accurate to ~1e-3 relative."""
+    import jax.numpy as jnp
+    ham = build_ham(dtype=np.float32)
+    v0 = lz.random_start_vector(ham.dim, 11, np.float32)
+    import lanczosplusplus_tpu.solver.lanczos as L
+    res32 = L.tridiagonalize(ham, v0, 80)
+    res16 = L.tridiagonalize(ham, v0, 80, reorth_dtype=jnp.bfloat16)
+    e32 = L.tridiag_eigh(res32.alphas, res32.betas)[0][0]
+    e16 = L.tridiag_eigh(res16.alphas, res16.betas)[0][0]
+    assert abs(e32 - e16) / abs(e32) < 2e-3
