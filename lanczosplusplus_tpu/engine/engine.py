@@ -24,8 +24,9 @@ def apply_operator_map(tgt, amp, dst_dim, vec, factor=1.0):
     application is O(dim) and runs once per observable, not in the
     Lanczos hot loop."""
     src = np.asarray(vec)
-    out = np.zeros(dst_dim, dtype=np.result_type(src.dtype, np.float64)
-                   if not np.iscomplexobj(src) else src.dtype)
+    out_dtype = np.result_type(src.dtype, np.asarray(factor).dtype,
+                               np.float64)
+    out = np.zeros(dst_dim, dtype=out_dtype)
     mask = tgt >= 0
     np.add.at(out, tgt[mask], factor * amp[mask] * src[mask])
     return out
