@@ -98,3 +98,11 @@ def test_bf16_krylov_basis_accuracy():
     e32 = L.tridiag_eigh(res32.alphas, res32.betas)[0][0]
     e16 = L.tridiag_eigh(res16.alphas, res16.betas)[0][0]
     assert abs(e32 - e16) / abs(e32) < 2e-3
+
+
+def test_excited_states_match_dense():
+    """Excited= support: lowest 3 states vs dense eigh."""
+    ham = build_ham()
+    evals, vecs = lz.lowest_states(ham, num_states=3, max_steps=150)
+    dense = np.linalg.eigvalsh(ham.to_dense())
+    np.testing.assert_allclose(evals[:3], dense[:3], atol=1e-8)
