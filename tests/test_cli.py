@@ -132,3 +132,16 @@ def test_input100_and_104_end_to_end(tmp_path, capsys):
                                                  abs=1e-8)
     assert eng104.ground_energy == pytest.approx(4.205534707006,
                                                  abs=1e-8)
+
+
+def test_consistency_cli(capsys):
+    from lanczosplusplus_tpu.cli import consistency_main
+    e = consistency_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp", "--tinf"])
+    out = capsys.readouterr().out
+    assert "Lanczos: lowest eigenvalue=" in out
+    assert "Lapack: lowest eigenvalue=" in out
+    assert "T=infinity energy=" in out
+    # T=inf energy for U=0 trace is 0 (hopping is traceless)
+    tinf = float(out.split("T=infinity energy=")[1].strip().split()[0])
+    assert abs(tinf) < 1e-10
