@@ -57,3 +57,22 @@ def test_distributed_lowest_states_matches():
     # same state up to sign
     ov = abs(np.vdot(vecs_d[0], np.asarray(vecs_s[0])))
     assert ov == pytest.approx(1.0, abs=1e-7)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_halo_matvec_matches(ndev):
+    from lanczosplusplus_tpu.parallel.halo import HaloPlan
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:ndev])
+    plan = HaloPlan(ham, ndev)
+    assert plan.halo_fraction < 1.0
+    arrays = plan.device_arrays(mesh)
+    mv = plan.matvec_fn(mesh)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(ham.dim)
+    xp = np.concatenate([x, np.zeros(plan.dim - ham.dim)])
+    xs = pmesh.sharded_vector(xp, mesh)
+    y = np.asarray(mv(arrays["diag"], arrays["cols"], arrays["vals"],
+                      arrays["send_idx"], xs))
+    expect = np.asarray(ham.matvec(x))
+    np.testing.assert_allclose(y[:ham.dim], expect, atol=1e-10)
