@@ -93,6 +93,19 @@ def main():
     _ = float(b[-1])
     lanczos_iter_s = 32 / (time.perf_counter() - t0)
 
+    # throughput-oriented config: bfloat16 Krylov basis (halved
+    # reorthogonalization traffic, ~1e-3 accuracy)
+    Vb = jnp.zeros((steps, dim), jnp.bfloat16)
+    vb = x / jnp.linalg.norm(x)
+    Vb, vb, a, b = _lanczos_chunk(ham, Vb, vb, jnp.arange(32))
+    jax.block_until_ready(b)
+    _ = float(b[0])
+    t0 = time.perf_counter()
+    Vb, vb, a, b = _lanczos_chunk(ham, Vb, vb, jnp.arange(32, 64))
+    jax.block_until_ready(b)
+    _ = float(b[-1])
+    lanczos_iter_s_bf16 = 32 / (time.perf_counter() - t0)
+
     # bytes moved per matvec: index + value per nnz (int32 + f32 for the
     # factorized maps are amortized over the Kronecker batch, but each
     # gathered x element is a real read) + vector reads/writes
@@ -126,6 +139,7 @@ def main():
             "ms_per_matvec": round(dt * 1e3, 3),
             "effective_GBps": round(gbps, 1),
             "lanczos_iters_per_s": round(lanczos_iter_s, 2),
+            "lanczos_iters_per_s_bf16V": round(lanczos_iter_s_bf16, 2),
         },
     }))
 
