@@ -106,6 +106,95 @@ def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
     return V, jnp.asarray(np.asarray(alphas)), jnp.asarray(np.asarray(betas))
 
 
+@jax.jit
+def _lanczos_chunk_plain(ham, v, v_prev, beta_prev, js):
+    """Memory-light three-term Lanczos (no stored Krylov basis, no
+    reorthogonalization).  O(2 vectors) memory enables Hilbert
+    dimensions far beyond what a stored (steps, dim) basis allows —
+    the pod-scale configuration (BASELINE.json config 5).  Ghost
+    eigenvalues appear as orthogonality decays; extremal eigenvalues
+    converge regardless (standard plain-Lanczos behavior)."""
+
+    def body(carry, j):
+        v, v_prev, beta_prev = carry
+        w = ham.matvec(v)
+        alpha = jnp.real(jnp.vdot(v, w))
+        w = w - alpha * v - beta_prev * v_prev
+        beta = jnp.linalg.norm(w)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        v_next = jnp.where(beta > 0, w / safe, jnp.zeros_like(w))
+        return (v_next, v, beta), (alpha, beta)
+
+    (v, v_prev, beta), (alphas, betas) = jax.lax.scan(
+        body, (v, v_prev, beta_prev), js)
+    return v, v_prev, beta, alphas, betas
+
+
+@jax.jit
+def _lanczos_accumulate_pass(ham, v, v_prev, beta_prev, weights, acc, js):
+    """Second pass of two-pass Lanczos: replay the recurrence and
+    accumulate sum_j weights[j] v_j into acc."""
+
+    def body(carry, jw):
+        v, v_prev, beta_prev, acc = carry
+        j, wgt = jw
+        acc = acc + wgt * v
+        w = ham.matvec(v)
+        alpha = jnp.real(jnp.vdot(v, w))
+        w = w - alpha * v - beta_prev * v_prev
+        beta = jnp.linalg.norm(w)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        v_next = jnp.where(beta > 0, w / safe, jnp.zeros_like(w))
+        return (v_next, v, beta, acc), None
+
+    (v, v_prev, beta, acc), _ = jax.lax.scan(
+        body, (v, v_prev, beta_prev, acc),
+        (js, weights.astype(v.dtype)))
+    return acc
+
+
+def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
+                        max_steps: int = 300):
+    """Ground/low states via plain two-pass Lanczos: first pass builds
+    (alpha, beta) with O(2 vectors) memory, host eigensolve, second
+    pass replays the recurrence to accumulate the Ritz vectors."""
+    dim = ham.dim
+    dtype = ham.dtype
+    steps = int(min(dim, max_steps))
+    v0 = random_start_vector(dim, seed, dtype)
+    zero = jnp.zeros_like(v0)
+    v, vp, beta, alphas, betas = _lanczos_chunk_plain(
+        ham, v0, zero, jnp.asarray(0.0, jnp.float64
+                                   if dtype in (jnp.float64,
+                                                jnp.complex128)
+                                   else jnp.float32),
+        jnp.arange(steps))
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    scale = max(np.abs(alphas).max(initial=0.0),
+                np.abs(betas).max(initial=0.0), 1.0)
+    m = steps
+    for j in range(steps - 1):
+        if betas[j] <= 1e-12 * scale:
+            m = j + 1
+            break
+    evals, evecs = tridiag_eigh(alphas[:m], betas[:m])
+    k = min(num_states, m)
+    vecs = []
+    for i in range(k):
+        wts = np.zeros(steps)
+        wts[:m] = evecs[:, i]
+        acc = _lanczos_accumulate_pass(
+            ham, v0, zero,
+            jnp.asarray(0.0, jnp.float64
+                        if dtype in (jnp.float64, jnp.complex128)
+                        else jnp.float32),
+            jnp.asarray(wts), jnp.zeros_like(v0), jnp.arange(steps))
+        acc = acc / jnp.linalg.norm(acc)
+        vecs.append(acc)
+    return evals[:k], vecs
+
+
 @dataclass
 class LanczosResult:
     alphas: np.ndarray   # (m,)

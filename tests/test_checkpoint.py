@@ -106,3 +106,14 @@ def test_excited_states_match_dense():
     evals, vecs = lz.lowest_states(ham, num_states=3, max_steps=150)
     dense = np.linalg.eigvalsh(ham.to_dense())
     np.testing.assert_allclose(evals[:3], dense[:3], atol=1e-8)
+
+
+def test_plain_two_pass_lanczos():
+    """Memory-light plain Lanczos: E0 and ground vector via two-pass
+    accumulation match the fully reorthogonalized solve."""
+    ham = build_ham()
+    e_ref, v_ref = lz.lowest_states(ham, max_steps=150)
+    e_plain, v_plain = lz.lowest_states_plain(ham, max_steps=150)
+    assert e_plain[0] == pytest.approx(e_ref[0], abs=1e-9)
+    ov = abs(np.vdot(np.asarray(v_plain[0]), np.asarray(v_ref[0])))
+    assert ov == pytest.approx(1.0, abs=1e-6)
