@@ -76,3 +76,37 @@ def test_immm_engine_vs_arpack():
     dense = eng.hamiltonian.to_dense()
     expect = np.linalg.eigvalsh(dense)[0]
     assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
+
+
+def test_immm_gf_lehmann():
+    """Immm one-particle GF vs Lehmann (orbital 1 on an O site)."""
+    inp = immm_input(2, 1, 1)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    coll, labels = eng.spectral_function("c", 0, 0, spin=0, orbs=(1, 1))
+    omegas = np.linspace(-6, 8, 41)
+    delta = 0.12
+    got = coll.evaluate(omegas, delta)
+    from lanczosplusplus_tpu.engine.operators import LabeledOperator
+    dense0 = eng.hamiltonian.to_dense()
+    e0s, v0s = np.linalg.eigh(dense0)
+    gs = v0s[:, 0]
+    z = omegas + 1j * delta
+    expect = np.zeros_like(z)
+    for op_name, sigma in (("cdagger", +1), ("c", -1)):
+        op = LabeledOperator(op_name)
+        parts_new = model.has_new_parts((1, 1), op, 0, 1)
+        if parts_new is None:
+            continue
+        bas = model.create_basis(parts_new)
+        tgt, amp, dst = model.operator_map(op, 0, 0, 1, eng.basis, bas)
+        phi = np.zeros(dst)
+        mask = tgt >= 0
+        np.add.at(phi, tgt[mask], amp[mask] * gs[mask])
+        h = model.hamiltonian(bas).to_dense()
+        es, vs = np.linalg.eigh(h)
+        a = vs.T @ phi
+        for m in range(len(es)):
+            expect += a[m] ** 2 / (z - sigma * (es[m] - e0s[0]))
+    np.testing.assert_allclose(got, expect, atol=1e-8)
