@@ -20,14 +20,20 @@ from lanczosplusplus_tpu.engine.spectral import (
 
 def apply_operator_map(tgt, amp, dst_dim, vec, factor=1.0):
     """z[tgt] += factor * amp * vec — the vectorized accModifiedState_
-    scatter (reference: Engine.h:416-458).  Host-side numpy: operator
-    application is O(dim) and runs once per observable, not in the
-    Lanczos hot loop."""
+    scatter (reference: Engine.h:416-458).  Small sectors scatter on
+    host; large ones as a device scatter-add (sector-to-sector operator
+    application is itself a sparse-matrix apply)."""
     src = np.asarray(vec)
     out_dtype = np.result_type(src.dtype, np.asarray(factor).dtype,
                                np.float64)
-    out = np.zeros(dst_dim, dtype=out_dtype)
     mask = tgt >= 0
+    if dst_dim >= (1 << 20):
+        safe_tgt = jnp.asarray(np.where(mask, tgt, 0))
+        contrib = jnp.asarray(
+            np.where(mask, factor * amp * src, 0).astype(out_dtype))
+        out = jnp.zeros(dst_dim, dtype=out_dtype).at[safe_tgt].add(contrib)
+        return np.asarray(out)
+    out = np.zeros(dst_dim, dtype=out_dtype)
     np.add.at(out, tgt[mask], factor * amp[mask] * src[mask])
     return out
 
