@@ -73,11 +73,15 @@ def factor_matmul(x, a, tile_m: int = 512, tile_n: int = 512,
 
 
 def _ell_kernel(x_ref, cols_ref, vals_ref, o_ref):
-    """Row-block ELL SpMV with x fully resident in VMEM."""
-    x = x_ref[:]                      # (dim_padded,) viewed as (1, dim)
+    """Row-block ELL SpMV with x fully resident in VMEM.
+
+    Mosaic's supported gather shape is take_along_axis on axis 0 with
+    matching (rows, lanes) indices, so the state is replicated across
+    the K lanes: out[i, j] = x_bcast[cols[i, j], j] = x[cols[i, j]]."""
+    x = x_ref[:]                      # (dim_padded, K) lane-replicated
     cols = cols_ref[:]                # (block, K)
     vals = vals_ref[:]
-    gathered = jnp.take(x.reshape(-1), cols, axis=0)
+    gathered = jnp.take_along_axis(x, cols, axis=0)
     o_ref[:] = jnp.sum(vals * gathered, axis=1, keepdims=True)
 
 
@@ -91,18 +95,19 @@ def ell_spmv_pallas(diag, cols, vals, x, block: int = 1024):
     dimp = -(-dim // block) * block
     cols_p = jnp.pad(cols, ((0, dimp - dim), (0, 0)))
     vals_p = jnp.pad(vals, ((0, dimp - dim), (0, 0)))
-    x_p = jnp.pad(x, (0, dimp - dim))
+    x_b = jnp.broadcast_to(jnp.pad(x, (0, dimp - dim))[:, None],
+                           (dimp, k))
     y = pl.pallas_call(
         _ell_kernel,
         grid=(dimp // block,),
         in_specs=[
-            pl.BlockSpec((dimp,), lambda i: (0,)),
+            pl.BlockSpec((dimp, k), lambda i: (0, 0)),
             pl.BlockSpec((block, k), lambda i: (i, 0)),
             pl.BlockSpec((block, k), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((dimp, 1), x.dtype),
-    )(x_p, cols_p, vals_p)
+    )(x_b, cols_p, vals_p)
     return diag * x + y[:dim, 0]
 
 

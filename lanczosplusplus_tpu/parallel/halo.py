@@ -113,6 +113,12 @@ class HaloPlan:
             send_idx=jax.device_put(jnp.asarray(self.send_idx), first),
         )
 
+    def hamiltonian(self, mesh: Mesh) -> "HaloHamiltonian":
+        arrays = self.device_arrays(mesh)
+        return HaloHamiltonian(diag=arrays["diag"], cols=arrays["cols"],
+                               vals=arrays["vals"],
+                               send_idx=arrays["send_idx"], mesh=mesh)
+
     def matvec_fn(self, mesh: Mesh):
         def halo_matvec(diag, cols, vals, send_idx, x):
             # shard-local shapes: diag/x (shard,), cols/vals (shard, K),
@@ -129,3 +135,79 @@ class HaloPlan:
                                  P(ROWS, None, None), P(ROWS)),
                        out_specs=P(ROWS))
         return jax.jit(fn)
+
+
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloHamiltonian:
+    """Hamiltonian whose matvec is the halo-exchange shard_map; drops
+    into the same Lanczos scan as the single-chip Hamiltonian."""
+    diag: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    send_idx: jax.Array
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dim(self):
+        return self.diag.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def matvec(self, x):
+        def halo_matvec(diag, cols, vals, send_idx, x):
+            send = x[send_idx[0]]
+            recv = jax.lax.all_to_all(send, ROWS, 0, 0)
+            combined = jnp.concatenate([x, recv.reshape(-1)])
+            return diag * x + jnp.sum(vals * combined[cols], axis=-1)
+
+        spec_row = P(ROWS, None)
+        fn = shard_map(halo_matvec, mesh=self.mesh,
+                       in_specs=(P(ROWS), spec_row, spec_row,
+                                 P(ROWS, None, None), P(ROWS)),
+                       out_specs=P(ROWS))
+        return fn(self.diag, self.cols, self.vals, self.send_idx, x)
+
+
+def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
+                       seed: int = 7239443, max_steps: int = 200):
+    """Distributed lowest_states with halo-exchange communication
+    instead of a full all-gather."""
+    from lanczosplusplus_tpu.parallel import mesh as pmesh
+
+    plan = HaloPlan(ham, mesh.devices.size)
+    sham = plan.hamiltonian(mesh)
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    dim = sham.dim
+    steps = int(min(dim, max_steps))
+    v0 = lz.random_start_vector(plan.orig_dim, seed, sham.dtype)
+    v0 = jnp.concatenate([jnp.asarray(v0),
+                          jnp.zeros(dim - plan.orig_dim,
+                                    dtype=sham.dtype)])
+    v0 = pmesh.sharded_vector(v0, mesh)
+    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
+                       NamedSharding(mesh, P(None, ROWS)))
+    from lanczosplusplus_tpu.solver.lanczos import _lanczos_chunk
+    V, v, alphas, betas = _lanczos_chunk(sham, V, v0, jnp.arange(steps))
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    scale = max(np.abs(alphas).max(initial=0.0),
+                np.abs(betas).max(initial=0.0), 1.0)
+    m = steps
+    for j in range(steps - 1):
+        if betas[j] <= 1e-12 * scale:
+            m = j + 1
+            break
+    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
+    k = min(num_states, m)
+    w = jnp.asarray(np.vstack([evecs[:, :k],
+                               np.zeros((steps - m, k))]), dtype=V.dtype)
+    vecs = (V.T @ w).T
+    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+    return evals[:k], np.asarray(vecs)[:, :plan.orig_dim]

@@ -76,3 +76,14 @@ def test_halo_matvec_matches(ndev):
                       arrays["send_idx"], xs))
     expect = np.asarray(ham.matvec(x))
     np.testing.assert_allclose(y[:ham.dim], expect, atol=1e-10)
+
+
+def test_halo_lowest_states_matches():
+    from lanczosplusplus_tpu.parallel.halo import halo_lowest_states
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    evals_h, vecs_h = halo_lowest_states(ham, mesh, max_steps=120)
+    evals_s, vecs_s = lz.lowest_states(ham, max_steps=120)
+    assert evals_h[0] == pytest.approx(evals_s[0], abs=1e-9)
+    ov = abs(np.vdot(vecs_h[0], np.asarray(vecs_s[0])))
+    assert ov == pytest.approx(1.0, abs=1e-7)
