@@ -72,17 +72,29 @@ def factor_matmul(x, a, tile_m: int = 512, tile_n: int = 512,
     return out[:m, :n]
 
 
-def _ell_kernel(x_ref, cols_ref, vals_ref, o_ref):
-    """Row-block ELL SpMV with x fully resident in VMEM.
+def _ell_kernel(x_ref, cols_ref, vals_ref, o_ref, *, block):
+    """Row-block x source-block ELL SpMV.
 
-    Mosaic's supported gather shape is take_along_axis on axis 0 with
-    matching (rows, lanes) indices, so the state is replicated across
-    the K lanes: out[i, j] = x_bcast[cols[i, j], j] = x[cols[i, j]]."""
-    x = x_ref[:]                      # (dim_padded, K) lane-replicated
-    cols = cols_ref[:]                # (block, K)
+    Mosaic's dynamic gather (take_along_axis axis 0) requires operand
+    and index shapes to match, so x is consumed in (block, K)
+    lane-replicated source tiles: grid dim 1 walks the source tiles and
+    each contributes its in-range columns, masked and accumulated."""
+    s = pl.program_id(1)
+    offset = s * block
+    x = x_ref[:]                      # (block, K) source tile
+    cols = cols_ref[:]                # (block, K) global columns
     vals = vals_ref[:]
-    gathered = jnp.take_along_axis(x, cols, axis=0)
-    o_ref[:] = jnp.sum(vals * gathered, axis=1, keepdims=True)
+
+    @pl.when(s == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    local = cols - offset
+    in_range = (local >= 0) & (local < block)
+    safe = jnp.where(in_range, local, 0)
+    gathered = jnp.take_along_axis(x, safe, axis=0)
+    contrib = jnp.where(in_range, vals * gathered, 0.0)
+    o_ref[:] += jnp.sum(contrib, axis=1, keepdims=True)
 
 
 def ell_spmv_pallas(diag, cols, vals, x, block: int = 1024):
@@ -93,19 +105,20 @@ def ell_spmv_pallas(diag, cols, vals, x, block: int = 1024):
     """
     dim, k = cols.shape
     dimp = -(-dim // block) * block
+    nblocks = dimp // block
     cols_p = jnp.pad(cols, ((0, dimp - dim), (0, 0)))
     vals_p = jnp.pad(vals, ((0, dimp - dim), (0, 0)))
     x_b = jnp.broadcast_to(jnp.pad(x, (0, dimp - dim))[:, None],
                            (dimp, k))
     y = pl.pallas_call(
-        _ell_kernel,
-        grid=(dimp // block,),
+        functools.partial(_ell_kernel, block=block),
+        grid=(nblocks, nblocks),
         in_specs=[
-            pl.BlockSpec((dimp, k), lambda i: (0, 0)),
-            pl.BlockSpec((block, k), lambda i: (i, 0)),
-            pl.BlockSpec((block, k), lambda i: (i, 0)),
+            pl.BlockSpec((block, k), lambda i, s: (s, 0)),
+            pl.BlockSpec((block, k), lambda i, s: (i, 0)),
+            pl.BlockSpec((block, k), lambda i, s: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((block, 1), lambda i, s: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((dimp, 1), x.dtype),
     )(x_b, cols_p, vals_p)
     return diag * x + y[:dim, 0]
