@@ -221,8 +221,13 @@ class Engine:
                 alphas=np.zeros(0), betas=np.zeros(0),
                 e0=self.ground_energy, weight=0.0, sigma=s)
         v0 = jnp.asarray(modif / np.sqrt(weight))
-        res = lz.tridiagonalize(ham_new, v0,
-                                self.config.lanczos_steps)
+        steps = self.config.lanczos_steps
+        itemsize = np.dtype(ham_new.dtype).itemsize
+        if min(ham_new.dim, steps) * ham_new.dim * itemsize > (6 << 30):
+            # huge sector: the CF needs only (alpha, beta)
+            res = lz.tridiagonalize_plain(ham_new, v0, steps)
+        else:
+            res = lz.tridiagonalize(ham_new, v0, steps)
         return ContinuedFraction(
             alphas=res.alphas, betas=res.betas, e0=self.ground_energy,
             weight=weight * s2, sigma=s)

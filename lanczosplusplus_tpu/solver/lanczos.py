@@ -195,6 +195,28 @@ def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
     return evals[:k], vecs
 
 
+def tridiagonalize_plain(ham, v0, steps: int):
+    """(alphas, betas) via the memory-light recurrence — enough for
+    continued-fraction spectral functions, which never need the Krylov
+    basis itself."""
+    steps = int(min(steps, v0.shape[0]))
+    rdt = jnp.float64 if v0.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    v, vp, beta, alphas, betas = _lanczos_chunk_plain(
+        ham, v0, jnp.zeros_like(v0), jnp.asarray(0.0, rdt),
+        jnp.arange(steps))
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    scale = max(np.abs(alphas).max(initial=0.0),
+                np.abs(betas).max(initial=0.0), 1.0)
+    m = steps
+    for j in range(steps - 1):
+        if betas[j] <= 1e-12 * scale:
+            m = j + 1
+            break
+    return LanczosResult(alphas=alphas[:m], betas=betas[:m], V=None, m=m)
+
+
 @dataclass
 class LanczosResult:
     alphas: np.ndarray   # (m,)
@@ -259,13 +281,16 @@ def random_start_vector(dim: int, seed: int, dtype) -> jax.Array:
 
 
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
-                  max_steps: int = 200, tol: float = 1e-10):
+                  max_steps: int = 200, tol: float = 1e-10,
+                  krylov_budget_bytes: int = 6 << 30):
     """Lowest `num_states` eigenpairs of a sector Hamiltonian.
 
     Equivalent to LanczosSolver::computeAllStatesBelow as driven by
     Engine::computeAllStatesBelow (reference: Engine.h:616-626), with
     the dense-diagonalization fallback folded in for tiny sectors
-    (reference: Engine.h:627-639).
+    (reference: Engine.h:627-639).  When the stored Krylov basis would
+    exceed `krylov_budget_bytes`, the memory-light plain two-pass
+    solver takes over automatically (huge sectors).
     """
     dim = ham.dim
     dtype = ham.dtype
@@ -274,6 +299,10 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         evals, evecs = np.linalg.eigh(dense)
         k = min(num_states, dim)
         return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
+    itemsize = np.dtype(dtype).itemsize
+    if min(dim, max_steps) * dim * itemsize > krylov_budget_bytes:
+        return lowest_states_plain(ham, num_states=num_states, seed=seed,
+                                   max_steps=max_steps)
 
     v0 = random_start_vector(dim, seed, dtype)
     steps = int(min(dim, max_steps))
