@@ -119,6 +119,9 @@ def rahul_apply(basis, ops, sites, psi):
         tgt = iu + idn * basis.up.size
     elif hasattr(basis, "rank"):       # combined-word bases (t-J)
         tgt = basis.rank(w1, w2)
+        if hasattr(basis, "contains"):
+            # operator strings can leave the constrained space
+            alive = alive & basis.contains(w1, w2)
     else:
         raise NotImplementedError("rahul method: unsupported basis")
     np.add.at(psi_new, tgt[alive], value[alive])

@@ -23,8 +23,9 @@ couples the spin words, so no Kronecker factorization); rank is a
 searchsorted on the sorted combined-word array (replaces the
 reference's bounded binary search, BasisTjMultiOrbLanczos.h:70-105).
 
-`JHundInfinity` (reinterpretAndTruncate, TjMultiOrb.h:201-294) is not
-implemented yet; inputs requesting it raise.
+`JHundInfinity` (reinterpretAndTruncate, TjMultiOrb.h:201-294) rotates
+per-site states 6/9 into bonding/antibonding combinations and truncates
+the removed codes; see _reinterpret_and_truncate.
 """
 
 from __future__ import annotations
@@ -69,7 +70,15 @@ class TjBasis:
 
     def rank(self, up_w: np.ndarray, dn_w: np.ndarray) -> np.ndarray:
         key = (dn_w.astype(WORD) << WORD(self.nbits)) | up_w
-        return np.searchsorted(self.key, key)
+        return np.minimum(np.searchsorted(self.key, key),
+                          self.size - 1)
+
+    def contains(self, up_w: np.ndarray, dn_w: np.ndarray) -> np.ndarray:
+        """True where (up, down) is a valid constrained state (used to
+        guard operator strings that can leave the t-J space)."""
+        key = (dn_w.astype(WORD) << WORD(self.nbits)) | up_w
+        pos = np.minimum(np.searchsorted(self.key, key), self.size - 1)
+        return self.key[pos] == key
 
 
 class TjMultiOrbModel:

@@ -209,3 +209,27 @@ IsPeriodicX=0
     full = np.linalg.eigvalsh(model2.hamiltonian(basis).to_dense())
     trunc = np.linalg.eigvalsh(dense)
     assert trunc[0] >= full[0] - 1e-10  # Cauchy interlacing lower bound
+
+
+def test_tj_chain_one_particle_gf_sum_rule():
+    """BASELINE config 3 (reduced for CPU test time; the 16-site run is
+    benchmarks/tj_gf.py): t-J chain one-particle G(omega) via continued
+    fractions; validated by the anticommutator sum rule and spectral
+    positivity."""
+    inp = parse_input(tj_input(14, 6, 6, t=-1.0, j=0.35, periodic=1))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    assert eng.basis.size == 84084
+    coll, labels = eng.spectral_function("c", 0, 0, spin=0)
+    # sum of |phi|^2 weights: <c c^dag> + <c^dag c> = 1 in the
+    # constrained space minus double-occupancy exclusion corrections;
+    # for t-J: {c,c^dag}_projected <= 1, and n_up + (1 - n_up - n_dn)
+    total_w = sum(abs(cf.weight) for cf in coll.items)
+    assert 0.5 < total_w <= 1.0 + 1e-9
+    omegas = np.linspace(-6, 6, 241)
+    g = coll.evaluate(omegas, 0.1)
+    assert (-g.imag >= -1e-9).all()  # positive spectral function
+    # integral matches total weight within broadening tails
+    integ = np.trapezoid(-g.imag / np.pi, omegas)
+    assert integ == pytest.approx(total_w, abs=0.08)
