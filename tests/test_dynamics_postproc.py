@@ -123,3 +123,38 @@ IsPeriodicX=0
     assert (-g.imag >= -1e-9).all()
     # weight equals <phi|phi>
     assert cf.weight >= 0
+
+
+def test_feas_sq_omega():
+    """BASELINE config 4: S(q, omega) on the two-orbital FeBasedSc
+    model (sz channel)."""
+    text = """
+TotalNumberOfSites=4
+Model=FeAsBasedSc
+FeAsMode=INT_PAPER33
+NumberOfTerms=1
+DegreesOfFreedom=2
+Orbitals=2
+GeometryKind=chain
+GeometryOptions=ConstantValues
+SolverOptions=none
+hubbardU 4 2.0 1.0 -0.4 -0.2
+Connectors 2 2
+-1.0 0.1
+0.1 -0.6
+potentialV 16
+0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=1
+"""
+    eng = make_engine(text)
+    omegas = np.linspace(-0.5, 8, 200)
+    qs, sqw = postproc.sq_omega(eng, "sz", omegas, 0.1)
+    intens = -sqw.imag / np.pi
+    assert np.isfinite(intens).all()
+    # q=0 weight vanishes for the Sz-conserving ground state
+    w0 = np.trapezoid(intens[0], omegas)
+    wpi = np.trapezoid(intens[2], omegas)
+    assert abs(w0) < 0.03
+    assert wpi > 0.01
