@@ -35,7 +35,8 @@ def run(argv=None):
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     name = inp.string("Model")
-    kind = "tj" if name == "TjMultiOrb" else "hubbard"
+    kind = {"TjMultiOrb": "tj", "Heisenberg": "heisenberg"}.get(
+        name, "hubbard")
     gc = GrandCanonical(model, geometry.number_of_sites(), kind=kind)
     z = gc.partition(args.beta, args.mu, args.constant)
     print(f"density={gc.density(args.beta, args.mu, args.constant)} "

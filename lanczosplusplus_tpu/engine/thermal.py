@@ -36,14 +36,18 @@ class SectorSpectrum:
     nelectrons: int
 
 
-def full_spectrum(model, basis, dtype=np.float64) -> SectorSpectrum:
+def full_spectrum(model, basis, dtype=np.float64,
+                  nelectrons=None) -> SectorSpectrum:
     ham = model.hamiltonian(basis, dtype=dtype)
     dense = jnp.asarray(ham.to_dense())
     evals, evecs = jnp.linalg.eigh(dense)
     parts = basis.parts
-    ne = sum(p for p in parts if isinstance(p, (int, np.integer)))
+    if nelectrons is None:
+        nelectrons = sum(p for p in parts
+                         if isinstance(p, (int, np.integer)))
     return SectorSpectrum(parts=parts, evals=np.asarray(evals),
-                          evecs=np.asarray(evecs), nelectrons=int(ne))
+                          evecs=np.asarray(evecs),
+                          nelectrons=int(nelectrons))
 
 
 class ExactDiag:
@@ -102,21 +106,33 @@ class GrandCanonical:
         self._bases = {}
         nmax = max_electrons if max_electrons is not None else 2 * nsite
         # the vacuum sector is included (the reference's
-        # grandCanonical.pl sweep omits it; its e^0 term belongs in Z)
-        for nup in range(nsite + 1):
-            for ndown in range(nsite + 1):
-                if nup + ndown > nmax:
-                    continue
-                if kind == "tj" and nup + ndown > nsite:
-                    continue
-                try:
-                    basis = model.create_basis((nup, ndown))
-                except Exception:
-                    continue
-                if basis.size == 0:
-                    continue
-                self._bases[(nup, ndown)] = basis
-                self.sectors.append(full_spectrum(model, basis))
+        # grandCanonical.pl sweep omits it; its e^0 term belongs in Z);
+        # kind selects the sector lattice as grandCanonical.pl's
+        # canonical / tj / Heisenberg filters do (grandCanonical.pl:23-57)
+        if kind == "heisenberg":
+            twice_s = getattr(model, "twice_s", 1)
+            parts_list = [(twice_s, szpc)
+                          for szpc in range(nsite * twice_s + 1)]
+        else:
+            parts_list = [(nup, ndown)
+                          for nup in range(nsite + 1)
+                          for ndown in range(nsite + 1)
+                          if nup + ndown <= nmax and
+                          not (kind == "tj" and nup + ndown > nsite)]
+        for parts in parts_list:
+            try:
+                basis = model.create_basis(parts)
+            except Exception:
+                continue
+            if basis.size == 0:
+                continue
+            self._bases[parts] = basis
+            # the chemical potential couples to the sector's conserved
+            # number: electrons for fermion models, sum of site values
+            # (szPlusConst) for Heisenberg
+            ne = parts[1] if kind == "heisenberg" else sum(parts)
+            self.sectors.append(full_spectrum(model, basis,
+                                              nelectrons=ne))
 
     def _weights(self, beta, mu, constant=0.0):
         """Per-sector stabilized Boltzmann data."""

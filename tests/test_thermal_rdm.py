@@ -146,3 +146,37 @@ def test_lorentzian_modes():
                                 eps=0.0, beta=5.0)
     assert len(om_m) == 20
     assert np.isfinite(g_m).all()
+
+
+def test_grand_canonical_heisenberg():
+    """Heisenberg sector sweep: Z over all szPlusConst sectors equals
+    the full 2^n partition function."""
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions=none
+TargetSzPlusConst=2
+IsPeriodicX=1
+"""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    from lanczosplusplus_tpu.engine.thermal import GrandCanonical
+    gc = GrandCanonical(model, nsite=4, kind="heisenberg")
+    assert sum(s.evals.size for s in gc.sectors) == 16  # full 2^4
+    beta = 0.7
+    z = gc.partition(beta, mu=0.0)
+    # direct: all sectors
+    z_direct = sum(np.exp(-beta * s.evals).sum() for s in gc.sectors)
+    assert z == pytest.approx(z_direct, rel=1e-10)
