@@ -50,18 +50,28 @@ class Geometry:
             vec = inp.vector("Connectors", occurrence=t)
             if len(vec) < ndirs:
                 vec = list(vec) + [vec[-1]] * (ndirs - len(vec))
-            return [np.array([[v]], dtype=np.float64) for v in vec]
-        mat = np.array(inp.matrix("Connectors", occurrence=t),
-                       dtype=np.float64)
+            dt = complex if any(isinstance(v, complex) for v in vec) \
+                else np.float64
+            return [np.array([[v]], dtype=dt) for v in vec]
+        rows = inp.matrix("Connectors", occurrence=t)
+        dt = complex if any(isinstance(v, complex)
+                            for r in rows for v in r) else np.float64
+        mat = np.array(rows, dtype=dt)
         return [mat] * ndirs
 
     def _build_term(self, inp, t, kind, dof, options, px, py):
         n = self.nsites
+        mats_probe = None
         c = np.zeros((n, n, dof, dof), dtype=np.float64)
 
         def add_bond(i, j, mat):
+            nonlocal c
+            if np.iscomplexobj(mat) and not np.iscomplexobj(c):
+                c = c.astype(complex)
             c[i, j] += mat
-            c[j, i] += mat.T
+            # hermitian coupling: the reverse bond carries the
+            # conjugate transpose (matters for complex SOC hoppings)
+            c[j, i] += mat.conj().T
 
         kl = kind.lower()
         if kl == "chain":
@@ -93,6 +103,8 @@ class Geometry:
             if dof == 1:
                 if mat.shape != (n, n):
                     raise ValueError("longrange Connectors must be n x n")
+                if np.iscomplexobj(mat):
+                    c = c.astype(complex)
                 c[:, :, 0, 0] = mat
             else:
                 full = mat.reshape(n, dof, n, dof).transpose(0, 2, 1, 3)

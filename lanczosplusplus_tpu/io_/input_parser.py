@@ -22,6 +22,10 @@ from dataclasses import dataclass, field
 
 _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 _INT_RE = re.compile(r"^[+-]?\d+$")
+# PsimagLite complex literal: (re,im)
+_CPLX_RE = re.compile(
+    r"^\(([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?),"
+    r"([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\)$")
 
 # labels whose payload is "nrow ncol values..."
 _MATRIX_LABELS = {"SpinOrbit", "RAW_MATRIX"}
@@ -30,10 +34,13 @@ _ROWS3_LABELS = {"FiniteLoops"}
 
 
 def _is_number(tok: str) -> bool:
-    return bool(_NUM_RE.match(tok))
+    return bool(_NUM_RE.match(tok)) or bool(_CPLX_RE.match(tok))
 
 
 def _to_num(tok: str):
+    m = _CPLX_RE.match(tok)
+    if m:
+        return complex(float(m.group(1)), float(m.group(2)))
     if _INT_RE.match(tok):
         return int(tok)
     return float(tok)

@@ -70,7 +70,10 @@ class HubbardModel:
         kane_mele = name == "KaneMeleHubbard"
         t = geometry.coupling_matrix(self.TERM_HOPPING).copy()
         if kane_mele:
-            t += geometry.coupling_matrix(1)
+            t2 = geometry.coupling_matrix(1)
+            if np.iscomplexobj(t2) and not np.iscomplexobj(t):
+                t = t.astype(complex)
+            t = t + t2
         self.hoppings = t
         self.jmat = (geometry.coupling_matrix(self.TERM_SUPER)
                      if self.has_j else None)

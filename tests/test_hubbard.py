@@ -299,3 +299,43 @@ IsPeriodicX=0
     eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
     assert eng.ground_energy == pytest.approx(eng2.ground_energy,
                                               abs=1e-10)
+
+
+def test_kane_mele_complex_soc_hoppings():
+    """Complex (imaginary) term-1 hoppings: hermitian H, U=0 free
+    fermions match the single-particle spectrum of the complex hopping
+    matrix."""
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 (0.0,0.3)
+Model=KaneMeleHubbard
+hubbardU 4
+0 0 0 0
+potentialV 8
+0 0 0 0 0 0 0 0
+SolverOptions=useComplex
+TargetElectronsUp=2
+TargetElectronsDown=1
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    t = model.hoppings
+    assert np.iscomplexobj(t)
+    np.testing.assert_allclose(t, t.conj().T, atol=1e-13)
+    eng = Engine(model, inp)
+    ham = eng.hamiltonian
+    dense = ham.to_dense()
+    np.testing.assert_allclose(dense, dense.conj().T, atol=1e-12)
+    eps = np.linalg.eigvalsh(t)
+    expect = eps[:2].sum() + eps[:1].sum()
+    assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
