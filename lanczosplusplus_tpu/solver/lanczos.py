@@ -39,27 +39,35 @@ def _lanczos_chunk(ham, V, v, js):
 
     low_v = V.dtype != v.dtype
 
+    def reorth_pass(V, w):
+        if low_v:
+            coeffs = jax.lax.dot_general(
+                jnp.conj(V), w.astype(V.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=w.dtype)
+            return w - jax.lax.dot_general(
+                V, coeffs.astype(V.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=w.dtype)
+        coeffs = jnp.conj(V) @ w
+        return w - V.T @ coeffs
+
     def body(carry, j):
         V, v = carry
         V = V.at[j].set(v.astype(V.dtype))
         w = ham.matvec(v)
         alpha = jnp.real(jnp.vdot(v, w))
-        # full reorthogonalization, twice: the second pass keeps the
-        # residual orthogonal even near Krylov-space exhaustion (small
-        # beta), where a single pass lets spurious components explode
-        for _ in range(2):
-            if low_v:
-                coeffs = jax.lax.dot_general(
-                    jnp.conj(V), w.astype(V.dtype),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=w.dtype)
-                w = w - jax.lax.dot_general(
-                    V, coeffs.astype(V.dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=w.dtype)
-            else:
-                coeffs = jnp.conj(V) @ w
-                w = w - V.T @ coeffs
+        # full reorthogonalization with the DGKS criterion: always one
+        # pass; a second pass only when the first collapsed the norm
+        # (eta = 1/sqrt(2)), which is when classical Gram-Schmidt loses
+        # orthogonality (e.g. near Krylov-space exhaustion).  The
+        # conditional saves the dominant V-read traffic on typical steps.
+        norm0 = jnp.linalg.norm(w)
+        w = reorth_pass(V, w)
+        norm1 = jnp.linalg.norm(w)
+        w = jax.lax.cond(norm1 < 0.7071 * norm0,
+                         lambda ww: reorth_pass(V, ww),
+                         lambda ww: ww, w)
         beta = jnp.linalg.norm(w)
         safe = jnp.where(beta > 0, beta, 1.0)
         v_next = jnp.where(beta > 0, w / safe, jnp.zeros_like(w))
