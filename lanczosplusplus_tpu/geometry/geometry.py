@@ -61,7 +61,6 @@ class Geometry:
 
     def _build_term(self, inp, t, kind, dof, options, px, py):
         n = self.nsites
-        mats_probe = None
         c = np.zeros((n, n, dof, dof), dtype=np.float64)
 
         def add_bond(i, j, mat):

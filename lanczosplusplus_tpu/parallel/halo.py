@@ -21,8 +21,6 @@ the exchange, so XLA overlaps it with the transfer.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,7 +44,6 @@ class HaloPlan:
                       for _ in range(ndev)]
         new_cols = np.zeros_like(cols)
         # per consumer device: unique remote columns per owner
-        halo_offsets = np.zeros((ndev, ndev), dtype=np.int64)
         halo_sizes = np.zeros((ndev, ndev), dtype=np.int64)
         remote_maps = {}
         for d in range(ndev):
