@@ -74,6 +74,9 @@ def rahul_apply(basis, ops, sites, psi):
     if hasattr(basis, "words_up"):
         w1 = basis.words_up(idx).astype(WORD).copy()
         w2 = basis.words_down(idx).astype(WORD).copy()
+    elif hasattr(basis, "up_words"):   # combined-word bases (t-J)
+        w1 = basis.up_words.astype(WORD).copy()
+        w2 = basis.dn_words.astype(WORD).copy()
     else:
         raise NotImplementedError("rahul method needs a two-word basis")
     value = np.asarray(psi).copy().astype(np.complex128)

@@ -233,3 +233,20 @@ def test_tj_chain_one_particle_gf_sum_rule():
     # integral matches total weight within broadening tails
     integ = np.trapezoid(-g.imag / np.pi, omegas)
     assert integ == pytest.approx(total_w, abs=0.08)
+
+
+def test_tj_measure_rahul():
+    """rahul-method measure on the constrained t-J basis: double
+    occupancy is identically zero; <n_up(0)> matches dense."""
+    inp = parse_input(tj_input(6, 2, 2, t=-1.0, j=0.4))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    docc = eng.measure("gs|n[0];n?1[0]|gs")
+    assert abs(docc) < 1e-12  # no double occupancy in t-J
+    nup0 = eng.measure("gs|n[0]|gs").real
+    gs = np.asarray(eng.eigenvector(0))
+    from lanczosplusplus_tpu.core import bits as B
+    occ = B.get_bit(eng.basis.up_words, 0)
+    expect = float(np.sum(np.abs(gs) ** 2 * occ))
+    assert nup0 == pytest.approx(expect, abs=1e-10)
