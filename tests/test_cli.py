@@ -145,3 +145,28 @@ def test_consistency_cli(capsys):
     # T=inf energy for U=0 trace is 0 (hopping is traceless)
     tinf = float(out.split("T=infinity energy=")[1].strip().split()[0])
     assert abs(tinf) < 1e-10
+
+
+def test_excited_state_braket_measure(tmp_path):
+    os.chdir(tmp_path)
+    text = open("/root/reference/TestSuite/inputs/input0.inp").read()
+    text += "\nExcited=1\n"
+    path = tmp_path / "exc.inp"
+    path.write_text(text)
+    eng = lanczos_main.run(["-f", str(path)])
+    # <P1|n[0]|P1> matches the dense first-excited state occupation
+    val = eng.measure("P1|n[0]|P1").real
+    dense = eng.hamiltonian.to_dense()
+    evals, evecs = np.linalg.eigh(dense)
+    from lanczosplusplus_tpu.core import bits as B
+    idx = np.arange(eng.basis.size)
+    occ = B.get_bit(eng.basis.words_up(idx), 0)
+    # degenerate subspaces make single-vector comparison ambiguous;
+    # check the value lies within the degenerate subspace's range
+    e1 = eng.energies(1)
+    degset = np.nonzero(np.abs(evals - e1) < 1e-8)[0]
+    vals = []
+    for k in degset:
+        v = evecs[:, k]
+        vals.append(float(np.sum(np.abs(v) ** 2 * occ)))
+    assert min(vals) - 1e-6 <= val <= max(vals) + 1e-6
