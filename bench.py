@@ -11,10 +11,43 @@ measured time / nominal HBM bandwidth.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _device_backend_healthy(timeout_s: int = 300) -> bool:
+    """Probe the accelerator in a subprocess: a wedged TPU worker hangs
+    execution (device enumeration still succeeds), which would stall
+    the whole benchmark.  On probe failure we fall back to CPU so a
+    JSON line is always produced."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((4,4)) @ jnp.ones((4,4))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"16.0" in r.stdout
+    except Exception:
+        return False
+
+
+if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS") != "cpu":
+    if not _device_backend_healthy():
+        print("bench: accelerator probe failed; falling back to CPU",
+              file=sys.stderr)
+        os.environ["LPP_BENCH_FORCE_CPU"] = "1"
+
 import jax
+
+if os.environ.get("LPP_BENCH_FORCE_CPU"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 
