@@ -22,3 +22,20 @@ finite-temperature averages — built TPU-first:
 __version__ = "0.1.0"
 
 from lanczosplusplus_tpu.config import Config  # noqa: F401
+
+
+def load(path_or_text: str):
+    """Convenience one-liner: input file/text -> diagonalized Engine."""
+    import os
+
+    from lanczosplusplus_tpu.io_.input_parser import (parse_input,
+                                                      read_input)
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    inp = read_input(path_or_text) if os.path.exists(path_or_text) \
+        else parse_input(path_or_text)
+    geometry = Geometry(inp)
+    model = build_model(inp, geometry)
+    return Engine(model, inp)
