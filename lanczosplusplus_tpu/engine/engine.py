@@ -221,7 +221,10 @@ class Engine:
                 alphas=np.zeros(0), betas=np.zeros(0),
                 e0=self.ground_energy, weight=0.0, sigma=s)
         v0 = jnp.asarray(modif / np.sqrt(weight))
-        steps = self.config.lanczos_steps
+        # the reference reads a separate "Spectral" solver section
+        # (Engine.h:472 ParametersForSolver(io, "Spectral"))
+        steps = self.inp.integer("SpectralSteps",
+                                 default=self.config.lanczos_steps)
         itemsize = np.dtype(ham_new.dtype).itemsize
         if min(ham_new.dim, steps) * ham_new.dim * itemsize > (6 << 30):
             # huge sector: the CF needs only (alpha, beta)
