@@ -364,6 +364,25 @@ class Hamiltonian:
         return m
 
 
+def ell_spgemm(a_cols, a_vals, b_cols, b_vals):
+    """Device SpGEMM for bounded-row ELL operands: C = A @ B.
+
+    Result is ELL-with-duplicates of width Ka*Kb — exactly two gathers
+    and one elementwise product on device (duplicates are legal in this
+    layout: every consumer sums over the K axis).  Used for operator
+    products (e.g. chaining c^dag_i c_j maps) and symmetry conjugations
+    where both operands have bounded rows (the north star's SpGEMM
+    primitive).
+    """
+    n, ka = a_cols.shape
+    kb = b_cols.shape[1]
+    mid_cols = a_cols                                    # (n, Ka)
+    c_cols = b_cols[mid_cols].reshape(n, ka * kb)        # gather rows of B
+    c_vals = (a_vals[:, :, None] *
+              b_vals[mid_cols]).reshape(n, ka * kb)
+    return c_cols, c_vals
+
+
 def one_spin_ell(words: np.ndarray, rank_fn, bonds, dtype) -> tuple:
     """Build the one-spin hopping ELL map for a set of directed bonds.
 

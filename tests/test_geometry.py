@@ -97,3 +97,28 @@ IsPeriodicX=1
         expect = np.stack([np.asarray(ham.matvec(x[:, j]))
                            for j in range(5)], axis=1)
         np.testing.assert_allclose(got, expect, atol=1e-10)
+
+
+def test_ell_spgemm_matches_scipy():
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from lanczosplusplus_tpu.core.sparse import ell_spgemm, coo_to_ell
+    rng = np.random.default_rng(0)
+    n = 200
+    for _ in range(3):
+        def rand_ell(k):
+            cols = rng.integers(0, n, size=(n, k)).astype(np.int32)
+            vals = rng.standard_normal((n, k))
+            return cols, vals
+        ac, av = rand_ell(4)
+        bc, bv = rand_ell(3)
+        cc, cv = ell_spgemm(jnp.asarray(ac), jnp.asarray(av),
+                            jnp.asarray(bc), jnp.asarray(bv))
+        def to_sp(c, v):
+            r = np.repeat(np.arange(n), c.shape[1])
+            return sp.coo_matrix((np.asarray(v).ravel(),
+                                  (r, np.asarray(c).ravel())),
+                                 shape=(n, n)).tocsr()
+        got = to_sp(cc, cv).toarray()
+        expect = (to_sp(ac, av) @ to_sp(bc, bv)).toarray()
+        np.testing.assert_allclose(got, expect, atol=1e-10)
