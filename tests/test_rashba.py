@@ -130,3 +130,88 @@ def test_n_operator_map():
     # total up-occupation: sum_i <n_i_up> must be <N_up> in [0, 2]
     tot = np.trace(res).real
     assert 0 <= tot <= 2 + 1e-9
+
+
+def test_two_particle_rashba_brute_force():
+    """Independent second-quantized oracle for the spin-flip terms at
+    N=2 (the 1-particle dispersion cannot see multi-particle crossing
+    signs)."""
+    text = INPUT10.replace("TargetElectronsTotal=1",
+                           "TargetElectronsTotal=2") \
+        .replace("Connectors 1 7.0", "Connectors 1 0.8") \
+        .replace("hubbardU 4\n0 0 0 0", "hubbardU 4\n1.5 1.5 1.5 1.5")
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis(("ne", 2))
+    dense = model.hamiltonian(basis).to_dense()
+
+    # Fock space brute force over 8 modes (up 0-3, down 4-7), JW order
+    # mode index ascending; basis ordering matched to RashbaBasis:
+    # blocks ndown=0,1,2; within block idn fastest
+    nsite = 4
+    t = geom.coupling_matrix(0)
+    r = geom.coupling_matrix(1)
+    u = 1.5
+
+    def jw_sign(state, mode):
+        return -1 if bin(state & ((1 << mode) - 1)).count("1") & 1 else 1
+
+    def c_op(state, mode):
+        if not (state >> mode) & 1:
+            return None
+        return state ^ (1 << mode), jw_sign(state, mode)
+
+    def cdag_op(state, mode):
+        if (state >> mode) & 1:
+            return None
+        return state ^ (1 << mode), jw_sign(state, mode)
+
+    # build states from the block listing (matches RashbaBasis order)
+    states = []
+    for ndown in range(3):
+        blk = basis.block(ndown)
+        if blk is None:
+            continue
+        up_b, dn_b, off = blk
+        for iu in range(up_b.size):
+            for idn in range(dn_b.size):
+                fock = int(up_b.words[iu]) | (int(dn_b.words[idn]) << 4)
+                states.append(fock)
+    index = {s: k for k, s in enumerate(states)}
+    dim = len(states)
+    H = np.zeros((dim, dim))
+    for s, row in index.items():
+        for i in range(nsite):
+            nu = (s >> i) & 1
+            nd = (s >> (i + 4)) & 1
+            H[row, row] += u * nu * nd
+            for j in range(nsite):
+                if i == j:
+                    continue
+                # hopping both spins: t_ij c^dag_j c_i
+                for off_m in (0, 4):
+                    if t[i, j] == 0:
+                        continue
+                    r1 = c_op(s, i + off_m)
+                    if r1 is None:
+                        continue
+                    r2 = cdag_op(r1[0], j + off_m)
+                    if r2 is None:
+                        continue
+                    H[index[r2[0]], row] += t[i, j] * r1[1] * r2[1]
+                # rashba: r_ij (c^dag_{j up} c_{i down} + h.c.)
+                if r[i, j] != 0:
+                    r1 = c_op(s, i + 4)
+                    if r1 is not None:
+                        r2 = cdag_op(r1[0], j)
+                        if r2 is not None:
+                            H[index[r2[0]], row] += r[i, j] * r1[1] * r2[1]
+                    r1 = c_op(s, i)
+                    if r1 is not None:
+                        r2 = cdag_op(r1[0], j + 4)
+                        if r2 is not None:
+                            H[index[r2[0]], row] += r[i, j] * r1[1] * r2[1]
+    np.testing.assert_allclose(np.linalg.eigvalsh(dense),
+                               np.linalg.eigvalsh(H), atol=1e-10)
+    np.testing.assert_allclose(dense, H, atol=1e-10)
