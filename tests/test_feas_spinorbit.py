@@ -94,3 +94,140 @@ def test_spin_mixing_hermitian_and_engine():
     eng = Engine(model, inp)
     expect = np.linalg.eigvalsh(dense)[0].real
     assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
+
+
+def test_spin_orbit_fock_space_oracle():
+    """Element-wise second-quantized oracle.
+
+    The reference's doSignSpinOrbit interval convention
+    (BasisFeAsBasedSc.h:180-200 / BasisOneSpinFeAs doSign counting the
+    source bit) carries one extra minus sign on every SO hop relative
+    to textbook Jordan-Wigner, i.e. the implemented operator is
+    H_SO = - sum SO[s1+2*s2, o1+2*o2] c^dag_{i,o2,s2} c_{i,o1,s1}
+    (off-diagonal part; the diagonal n-terms are unaffected).  We
+    reproduce the reference convention faithfully — users' SpinOrbit
+    matrices keep their meaning — and this test pins the exact
+    relation against the textbook construction."""
+    so = np.zeros((4, 4))
+    so[0, :] = [0.15, 0.3, 0.3, -0.15]
+    so[3, :] = [-0.15, 0.3, 0.3, 0.15]
+    so[1, :] = [0.25, 0.1, 0.2, -0.25]
+    so[2, :] = [0.25, 0.2, 0.1, -0.25]
+    inp = parse_input(so_text(2, 1, 1, list(so.reshape(-1)),
+                              u=(1.3, 0.6, -0.2, -0.15)))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((1, 1))
+    dense = model.hamiltonian(basis).to_dense()
+
+    nsite, o = 2, 2
+    nb = nsite * o
+    t = model.hop  # already includes the FeAs minus sign
+    u = model.u
+
+    def jw_sign(state, mode):
+        return -1 if bin(state & ((1 << mode) - 1)).count("1") & 1 else 1
+
+    def c_op(state, mode):
+        if not (state >> mode) & 1:
+            return None
+        return state ^ (1 << mode), jw_sign(state, mode)
+
+    def cdag_op(state, mode):
+        if (state >> mode) & 1:
+            return None
+        return state ^ (1 << mode), jw_sign(state, mode)
+
+    states = []
+    for k in range(basis.size):
+        fock = int(basis.up_words[k]) | (int(basis.dn_words[k]) << nb)
+        states.append(fock)
+    index = {s: k for k, s in enumerate(states)}
+    H = np.zeros((len(states), len(states)))
+    for s, row in index.items():
+        # diagonal: U0/U1/U4/U5 + SO diagonal
+        for i in range(nsite):
+            for orb in range(o):
+                a = i * o + orb
+                nu = (s >> a) & 1
+                nd = (s >> (a + nb)) & 1
+                H[row, row] += u[0] * nu * nd
+                H[row, row] += so[0, orb + orb * o] * nu + \
+                    so[3, orb + orb * o] * nd
+                for orb2 in range(orb + 1, o):
+                    b = i * o + orb2
+                    nu2 = (s >> b) & 1
+                    nd2 = (s >> (b + nb)) & 1
+                    H[row, row] += u[1] * (nu + nd) * (nu2 + nd2)
+                    H[row, row] += u[4] * 0.25 * (nu - nd) * (nu2 - nd2)
+                    H[row, row] += u[5] * (nu * nu2 + nd * nd2)
+        # hopping both spins
+        for a in range(nb):
+            for b in range(nb):
+                if a == b or t[a, b] == 0:
+                    continue
+                for off_m in (0, nb):
+                    r1 = c_op(s, a + off_m)
+                    if r1 is None:
+                        continue
+                    r2 = cdag_op(r1[0], b + off_m)
+                    if r2 is None:
+                        continue
+                    H[index[r2[0]], row] += t[a, b] * r1[1] * r2[1]
+        # U2 / U3 onsite quartics
+        for i in range(nsite):
+            for o1 in range(o):
+                for o2 in range(o):
+                    if o1 == o2:
+                        continue
+                    a, b = i * o + o1, i * o + o2
+                    # 0.5*U2 S+_{o1}S-_{o2}: c^dag_{a,u} c_{a,d}
+                    #                         c^dag_{b,d} c_{b,u}
+                    cur = c_op(s, b)
+                    if cur is not None:
+                        cur2 = cdag_op(cur[0], b + nb)
+                        if cur2 is not None:
+                            cur3 = c_op(cur2[0], a + nb)
+                            if cur3 is not None:
+                                cur4 = cdag_op(cur3[0], a)
+                                if cur4 is not None:
+                                    amp = 0.5 * u[2] * cur[1] * cur2[1] * \
+                                        cur3[1] * cur4[1]
+                                    H[index[cur4[0]], row] += amp
+                    # U3 pair hop b -> a: -U3? reference amp
+                    # = -U3 * jTermSign; in operator form
+                    # +(-U3)... use c^dag_{a,u} c^dag_{a,d} c_{b,d} c_{b,u}
+                    cur = c_op(s, b)
+                    if cur is not None:
+                        cur2 = c_op(cur[0], b + nb)
+                        if cur2 is not None:
+                            cur3 = cdag_op(cur2[0], a + nb)
+                            if cur3 is not None:
+                                cur4 = cdag_op(cur3[0], a)
+                                if cur4 is not None:
+                                    amp = -u[3] * cur[1] * cur2[1] * \
+                                        cur3[1] * cur4[1]
+                                    H[index[cur4[0]], row] += amp
+        # spin-orbit off-diagonal
+        for i in range(nsite):
+            for o1 in range(o):
+                for o2 in range(o):
+                    for s1 in range(2):
+                        for s2 in range(2):
+                            if s1 == s2 and o1 == o2:
+                                continue
+                            val = so[s1 + 2 * s2, o1 + o * o2]
+                            if val == 0:
+                                continue
+                            m1 = i * o + o1 + (nb if s1 else 0)
+                            m2 = i * o + o2 + (nb if s2 else 0)
+                            r1 = c_op(s, m1)
+                            if r1 is None:
+                                continue
+                            r2 = cdag_op(r1[0], m2)
+                            if r2 is None:
+                                continue
+                            # reference convention: extra minus on
+                            # every SO hop (see docstring)
+                            H[index[r2[0]], row] += -val * r1[1] * r2[1]
+    np.testing.assert_allclose(dense, H, atol=1e-10)
