@@ -216,3 +216,18 @@ def test_many_point_splus_sminus(engine):
                 u2, d2 = u1 ^ 1, d1 ^ 1
                 acc += gs[index[(u2, d2)]] * s1 * s2 * gs[k]
     assert got == pytest.approx(acc, abs=1e-8)
+
+
+def test_two_point_c_single_particle_dm(engine):
+    """two_point('c'): <gs| c^dag_j c_i |gs> equals the one-particle
+    density matrix from the dense ground state."""
+    res = engine.two_point("c", spin=(0, 0))
+    dense = engine.hamiltonian.to_dense()
+    evals, evecs = np.linalg.eigh(dense)
+    gs = evecs[:, 0]
+    for i in range(4):
+        for j in range(4):
+            ci, dst = c_matrix(4, (2, 2), i, 0)
+            cj, _ = c_matrix(4, (2, 2), j, 0)
+            expect = np.vdot(cj @ gs, ci @ gs)
+            assert res[i, j] == pytest.approx(expect, abs=1e-9)
