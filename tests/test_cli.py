@@ -170,3 +170,12 @@ def test_excited_state_braket_measure(tmp_path):
         v = evecs[:, k]
         vals.append(float(np.sum(np.abs(v) ** 2 * occ)))
     assert min(vals) - 1e-6 <= val <= max(vals) + 1e-6
+
+
+def test_qpz_cli(capsys):
+    from lanczosplusplus_tpu.cli import qpz_main
+    out = qpz_main.run(
+        ["-f", "/root/reference/TestSuite/inputs/input0.inp", "--ratio"])
+    assert len(out) == 4
+    cap = capsys.readouterr().out
+    assert len(cap.strip().splitlines()) == 4
