@@ -179,3 +179,20 @@ def test_qpz_cli(capsys):
     assert len(out) == 4
     cap = capsys.readouterr().out
     assert len(cap.strip().splitlines()) == 4
+
+
+def test_dynamics1_cli(tmp_path, capsys):
+    from lanczosplusplus_tpu.cli import dynamics1_main
+    text = open("/root/reference/TestSuite/inputs/input100.inp").read()
+    text = text.replace("TotalNumberOfSites=6", "TotalNumberOfSites=2") \
+        .replace("potentialV 24", "potentialV 8") \
+        .replace("4.10 4.10 4.10 4.10 4.10 4.10", "0 0") \
+        .replace("0.0 0.0 0.0 0.0 0.0 0.0", "0 0") \
+        .replace("TargetElectronsUp=3", "TargetElectronsUp=1") \
+        .replace("TargetElectronsDown=3", "TargetElectronsDown=1")
+    path = tmp_path / "d1.inp"
+    path.write_text(text)
+    cf = dynamics1_main.run(["-f", str(path), "-r", "1"])
+    cap = capsys.readouterr().out
+    assert "SPECTRAL" in cap and "#Avector" in cap
+    assert cf.weight >= 0
