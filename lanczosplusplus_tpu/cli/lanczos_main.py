@@ -162,6 +162,7 @@ def run(argv=None):
                                    np.asarray(engine.eigenvector(0)),
                                    args.split)
         rdm.print_all(sys.stdout)
+        print(f"EntanglementEntropy={rdm.entanglement_entropy():.10g}")
 
     if args.extended_static:
         for spec in args.extended_static.split(","):
