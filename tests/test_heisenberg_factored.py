@@ -1,0 +1,84 @@
+"""Block-factorized Heisenberg solver vs the flat ELL path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models.heisenberg import HeisenbergModel
+from lanczosplusplus_tpu.models.heisenberg_factored import \
+    FactoredHeisenbergChain
+from lanczosplusplus_tpu.solver.lanczos import lowest_states
+
+
+def _model(nsite, periodic=True, anisotropy=1.0):
+    inp = parse_input(f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {anisotropy}
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions=none
+IsPeriodicX={1 if periodic else 0}
+""")
+    return HeisenbergModel(inp, Geometry(inp)), inp
+
+
+@pytest.mark.parametrize("nsite,periodic", [(8, False), (10, True)])
+def test_factored_matches_flat(nsite, periodic):
+    model, inp = _model(nsite, periodic=periodic, anisotropy=0.7)
+    szpc = nsite // 2
+    basis = model.create_basis((1, szpc))
+    flat = model.hamiltonian(basis)
+    fact = FactoredHeisenbergChain(model, nsite, szpc)
+    assert fact.ham.dim == basis.size
+    # full spectra agree
+    d1 = np.linalg.eigvalsh(flat.to_dense())
+    d2 = np.linalg.eigvalsh(fact.ham.to_dense())
+    np.testing.assert_allclose(d1, d2, atol=1e-9)
+
+
+def test_factored_lanczos_groundstate():
+    nsite = 12
+    model, inp = _model(nsite, periodic=True)
+    szpc = nsite // 2
+    basis = model.create_basis((1, szpc))
+    fact = FactoredHeisenbergChain(model, nsite, szpc)
+    evals, evecs = lowest_states(fact.ham, num_states=1, max_steps=200,
+                                 seed=5, tol=1e-10)
+    # literature: 12-site PBC Heisenberg chain E0 (Jpm=Jzz=1 in our
+    # H = sum J/2(S+S- + h.c.)/... normalization equals flat model)
+    flat = model.hamiltonian(basis)
+    ev_f, vec_f = lowest_states(flat, num_states=1, max_steps=200, seed=3,
+                                tol=1e-10)
+    assert abs(float(evals[0]) - float(ev_f[0])) < 1e-8
+    # eigenvector maps to the flat order with unit overlap
+    x = fact.to_flat_order(np.asarray(evecs[0]), basis)
+    ov = abs(np.vdot(x, np.asarray(vec_f[0])))
+    assert ov > 1 - 1e-8
+
+
+def test_factored_scales_blocks():
+    nsite = 14
+    model, inp = _model(nsite, periodic=False)
+    szpc = 7
+    fact = FactoredHeisenbergChain(model, nsite, szpc)
+    basis = model.create_basis((1, szpc))
+    assert fact.ham.dim == basis.size
+    # one matvec against the flat path on a random vector
+    rng = np.random.default_rng(0)
+    xb = rng.standard_normal(fact.ham.dim)
+    yb = np.asarray(fact.ham.matvec(jnp.asarray(xb)))
+    flat = model.hamiltonian(basis)
+    xf = fact.to_flat_order(xb, basis)
+    yf = np.asarray(flat.matvec(jnp.asarray(xf)))
+    np.testing.assert_allclose(fact.to_flat_order(yb, basis), yf,
+                               atol=1e-9)
