@@ -29,7 +29,7 @@ def _device_backend_healthy(timeout_s: int = 300) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0 and b"16.0" in r.stdout
+        return r.returncode == 0 and b"64.0" in r.stdout
     except Exception:
         return False
 

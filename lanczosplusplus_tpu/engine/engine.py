@@ -55,20 +55,52 @@ class Engine:
         self.excited = inp.integer("Excited", default=0)
         self.parts = model.default_parts(inp)
         self.basis = model.create_basis(self.parts)
-        self.hamiltonian = model.hamiltonian(
-            self.basis, dtype=self.config.scalar_dtype)
+        self._flat_ham = None
         nstates = self.excited + 1
         use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
                         inp.integer("UseReflectionSymmetry", default=0))
+        use_factored = ("factored" in inp.solver_options() and
+                        not use_symmetry and
+                        getattr(model, "twice_s", None) == 1 and
+                        type(model).__name__ == "HeisenbergModel")
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):
             if use_symmetry:
                 self._solve_with_symmetry(inp, nstates)
+            elif use_factored:
+                self._solve_factored(nstates)
             else:
                 self._energies, self._vectors = lz.lowest_states(
                     self.hamiltonian, num_states=nstates,
                     seed=self.config.seed,
                     max_steps=self.config.lanczos_steps)
+
+    @property
+    def hamiltonian(self):
+        """Flat sector Hamiltonian, built lazily so factored solves can
+        skip it entirely unless observables need it."""
+        if self._flat_ham is None:
+            self._flat_ham = self.model.hamiltonian(
+                self.basis, dtype=self.config.scalar_dtype)
+        return self._flat_ham
+
+    def _solve_factored(self, nstates):
+        """S=1/2 Heisenberg via the half-chain block factorization
+        (SolverOptions=factored): every hot op is an MXU matmul and the
+        flat ELL is never materialized for the solve."""
+        from lanczosplusplus_tpu.models.heisenberg_factored import \
+            FactoredHeisenbergChain
+
+        nsite = self.model.geometry.number_of_sites()
+        fact = FactoredHeisenbergChain(
+            self.model, nsite, self.parts[1],
+            dtype=self.config.scalar_dtype)
+        evals, vecs = lz.lowest_states(
+            fact.ham, num_states=nstates, seed=self.config.seed,
+            max_steps=self.config.lanczos_steps)
+        self._energies = evals
+        self._vectors = [fact.to_flat_order(np.asarray(v), self.basis)
+                         for v in vecs]
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:

@@ -82,3 +82,37 @@ def test_factored_scales_blocks():
     yf = np.asarray(flat.matvec(jnp.asarray(xf)))
     np.testing.assert_allclose(fact.to_flat_order(yb, basis), yf,
                                atol=1e-9)
+
+
+def test_engine_factored_option():
+    """SolverOptions=factored gives the same physics through Engine."""
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    def eng(opts):
+        inp = parse_input(f"""
+TotalNumberOfSites=10
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions={opts}
+TargetSzPlusConst=5
+IsPeriodicX=1
+""")
+        g = Geometry(inp)
+        return Engine(build_model(inp, g), inp)
+
+    e1 = eng("none")
+    e2 = eng("factored")
+    assert abs(e1.ground_energy - e2.ground_energy) < 1e-9
+    m1 = np.asarray(e1.two_point("sz"))
+    m2 = np.asarray(e2.two_point("sz"))
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
