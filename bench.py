@@ -19,19 +19,24 @@ import time
 import numpy as np
 
 
-def _device_backend_healthy(timeout_s: int = 300) -> bool:
+def _device_backend_healthy(timeout_s: int = 180) -> bool:
     """Probe the accelerator in a subprocess: a wedged TPU worker hangs
     execution (device enumeration still succeeds), which would stall
     the whole benchmark.  On probe failure we fall back to CPU so a
     JSON line is always produced."""
     code = ("import jax, jax.numpy as jnp;"
             "print(float((jnp.ones((4,4)) @ jnp.ones((4,4))).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0 and b"64.0" in r.stdout
-    except Exception:
-        return False
+    for attempt in range(3):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout_s)
+            if r.returncode == 0 and b"64.0" in r.stdout:
+                return True
+        except Exception:
+            pass
+        if attempt < 2:
+            time.sleep(20)
+    return False
 
 
 if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS") != "cpu":

@@ -9,8 +9,15 @@ matmuls.  Usage: python benchmarks/heisenberg_factored_bench.py [nsite]
 import sys
 import time
 
+import os
+
 import numpy as np
 import jax
+
+# the site plugin forces the accelerator platform regardless of
+# JAX_PLATFORMS in the environment; honor the variable explicitly
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
