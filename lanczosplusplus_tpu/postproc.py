@@ -79,3 +79,59 @@ def assemble_from_comb_files(paths, omegas, delta, center, nsites):
             factor = 1.0 if i == center else 0.5
             out[m] += vals[i] * np.cos(q * (i - center)) * factor
     return qs, out
+
+
+def extract_orbitals(path, orb1, orb2):
+    """Slice the (orb1, orb2) block of CFs out of a .comb file using the
+    per-CF meta key "spin,type,o1,o2" (the exact extractOrbitals.pl
+    selection, extractOrbitals.pl:50-81: keep keys whose orbital pair
+    matches in either order)."""
+    from lanczosplusplus_tpu.engine.spectral import read_collection
+
+    coll = read_collection(path)
+    out = ContinuedFractionCollection()
+    for cf in coll.items:
+        fields = cf.meta.split(",")
+        if len(fields) < 4:
+            continue
+        o1, o2 = int(fields[2]), int(fields[3])
+        if (o1, o2) in ((orb1, orb2), (orb2, orb1)):
+            out.push(cf)
+    if not out.items:
+        raise ValueError(
+            f"extract_orbitals: no CF with orbital pair "
+            f"({orb1},{orb2}) in {path}")
+    return out
+
+
+def dynamics_ft(paths, nsites, omegas, delta, center=None):
+    """Momentum assembly of per-site .comb files (dynamicsFt.pl:79-135):
+    for each momentum k_m = 2 pi m / nsites, scale each site file's CF
+    weights by e^{i k (site - center)} and sum the evaluated spectra.
+    Returns (ks, grid) with grid[m] = Re sum_i e^{ik(i-center)} G_i.
+    `center` defaults to the TSPCenter= recorded in each file."""
+    from lanczosplusplus_tpu.engine.spectral import read_collection
+
+    colls = []
+    centers = []
+    for p in paths:
+        colls.append(read_collection(p))
+        c = center
+        with open(p) as f:
+            for ln in f:
+                if ln.startswith("TSPCenter="):
+                    c = int(ln.split("=", 1)[1])
+                    break
+        if c is None:
+            raise ValueError(f"dynamics_ft: no TSPCenter in {p} and no "
+                             "center given")
+        centers.append(c)
+    ks = 2.0 * np.pi * np.arange(nsites) / nsites
+    grid = np.zeros((nsites, len(omegas)))
+    for m, k in enumerate(ks):
+        acc = np.zeros(len(omegas), dtype=np.complex128)
+        for site, (coll, c) in enumerate(zip(colls, centers)):
+            phase = np.exp(1j * k * (site - c))
+            acc += phase * coll.evaluate(omegas, delta)
+        grid[m] = acc.real
+    return ks, grid
