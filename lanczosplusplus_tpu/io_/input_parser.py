@@ -103,9 +103,31 @@ class InputData:
             return [vals[r * ncol:(r + 1) * ncol] for r in range(nrow)]
         raise ValueError(f"label {label} is not a matrix")
 
+    # SolverOptions vocabulary (reference: InputCheck.h:157-162 register
+    # list, plus tokens that appear in TestSuite inputs and our own
+    # extensions).  The reference's option parser is permissive about
+    # unknown tokens (TestSuite uses e.g. MatrixVectorStored), so we
+    # warn rather than raise.
+    _KNOWN_SOLVER_OPTIONS = {
+        "none", "InternalProductStored", "InternalProductOnTheFly",
+        "printmatrix", "dumpmatrix", "setAffinities",
+        # seen in TestSuite inputs
+        "MatrixVectorStored", "twositedmrg", "fixLegacyBugs",
+        # tpu-native extensions
+        "useComplex", "factored", "reortho",
+    }
+
     def solver_options(self) -> set:
+        import sys as _sys
+
         opts = str(self.scalar("SolverOptions", default="none"))
-        return {o.strip() for o in opts.split(",") if o.strip()}
+        out = {o.strip() for o in opts.split(",") if o.strip()}
+        unknown = out - self._KNOWN_SOLVER_OPTIONS
+        if unknown and not getattr(self, "_warned_opts", False):
+            print(f"input: unknown SolverOptions token(s): "
+                  f"{sorted(unknown)}", file=_sys.stderr)
+            object.__setattr__(self, "_warned_opts", True)
+        return out
 
 
 def parse_input(text: str) -> InputData:
