@@ -59,10 +59,11 @@ class Engine:
         nstates = self.excited + 1
         use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
                         inp.integer("UseReflectionSymmetry", default=0))
-        use_factored = ("factored" in inp.solver_options() and
-                        not use_symmetry and
-                        getattr(model, "twice_s", None) == 1 and
-                        type(model).__name__ == "HeisenbergModel")
+        self._factored = ("factored" in inp.solver_options() and
+                          not use_symmetry and
+                          getattr(model, "twice_s", None) == 1 and
+                          type(model).__name__ == "HeisenbergModel")
+        use_factored = self._factored
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):
             if use_symmetry:
@@ -91,16 +92,24 @@ class Engine:
         from lanczosplusplus_tpu.models.heisenberg_factored import \
             FactoredHeisenbergChain
 
-        nsite = self.model.geometry.number_of_sites()
-        fact = FactoredHeisenbergChain(
-            self.model, nsite, self.parts[1],
-            dtype=self.config.scalar_dtype)
+        ham = self._factored_hamiltonian(self.parts, self.basis)
         evals, vecs = lz.lowest_states(
-            fact.ham, num_states=nstates, seed=self.config.seed,
+            ham, num_states=nstates, seed=self.config.seed,
             max_steps=self.config.lanczos_steps)
         self._energies = evals
-        self._vectors = [fact.to_flat_order(np.asarray(v), self.basis)
-                         for v in vecs]
+        self._vectors = [np.asarray(v) for v in vecs]
+
+    def _factored_hamiltonian(self, parts, basis):
+        """Flat-ordered block-factorized Hamiltonian for an S=1/2
+        Heisenberg sector (any szpc, so dynamic-run sectors from s+/s-
+        use it too)."""
+        from lanczosplusplus_tpu.models.heisenberg_factored import \
+            FactoredHeisenbergChain
+
+        nsite = self.model.geometry.number_of_sites()
+        fact = FactoredHeisenbergChain(
+            self.model, nsite, parts[1], dtype=self.config.scalar_dtype)
+        return fact.flat_ham(basis)
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:
@@ -150,8 +159,13 @@ class Engine:
         if not hasattr(self, "_ham_cache"):
             self._ham_cache = {}
         if parts not in self._ham_cache:
-            self._ham_cache[parts] = self.model.hamiltonian(
-                self._cached_basis(parts), dtype=self.config.scalar_dtype)
+            if getattr(self, "_factored", False):
+                self._ham_cache[parts] = self._factored_hamiltonian(
+                    parts, self._cached_basis(parts))
+            else:
+                self._ham_cache[parts] = self.model.hamiltonian(
+                    self._cached_basis(parts),
+                    dtype=self.config.scalar_dtype)
         return self._ham_cache[parts]
 
     # -- operator application across sectors ------------------------------

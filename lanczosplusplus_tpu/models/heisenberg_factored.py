@@ -135,6 +135,34 @@ class HeisenbergBlockHamiltonian:
         return np.stack(cols, axis=1)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatFactoredHamiltonian:
+    """Permutation wrapper: applies the block-factorized matvec to
+    vectors in the sorted-word HeisenbergBasis order (two gathers around
+    the MXU matmuls), so solvers and operator maps see flat order."""
+    inner: HeisenbergBlockHamiltonian
+    perm: jax.Array   # block position p -> flat index perm[p]
+    inv: jax.Array    # flat index f -> block position inv[f]
+
+    @property
+    def dim(self):
+        return self.inner.dim
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    def matvec(self, x):
+        return self.inner.matvec(x[self.perm])[self.inv]
+
+    def to_dense(self):
+        eye = np.eye(self.dim)
+        cols = [np.asarray(self.matvec(jnp.asarray(eye[:, c])))
+                for c in range(self.dim)]
+        return np.stack(cols, axis=1)
+
+
 class FactoredHeisenbergChain:
     """Builder for S=1/2 chains: split at nsite//2."""
 
@@ -201,6 +229,27 @@ class FactoredHeisenbergChain:
         self.left_words = left_words
         self.right_words = right_words
         self.szpc = szpc
+
+    def flat_perm(self, basis) -> np.ndarray:
+        """perm[p] = flat (sorted-word) index of block position p."""
+        perm = np.empty(self.ham.dim, dtype=np.int64)
+        off = 0
+        for a, (dl, dr) in zip(self.blocks, self.ham.shapes):
+            lw = self.left_words[a]
+            rw = self.right_words[self.szpc - a]
+            words = (rw.astype(np.uint64)[None, :] << np.uint64(self.n_l)) \
+                | lw.astype(np.uint64)[:, None]
+            perm[off:off + dl * dr] = basis.rank(words.reshape(-1))
+            off += dl * dr
+        return perm
+
+    def flat_ham(self, basis) -> FlatFactoredHamiltonian:
+        perm = self.flat_perm(basis)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.shape[0])
+        return FlatFactoredHamiltonian(
+            inner=self.ham, perm=jnp.asarray(perm.astype(np.int32)),
+            inv=jnp.asarray(inv.astype(np.int32)))
 
     def to_flat_order(self, x, basis):
         """Map the block-concatenated vector to the sorted-word

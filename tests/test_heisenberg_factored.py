@@ -116,3 +116,42 @@ IsPeriodicX=1
     m1 = np.asarray(e1.two_point("sz"))
     m2 = np.asarray(e2.two_point("sz"))
     np.testing.assert_allclose(m1, m2, atol=1e-8)
+
+
+def test_engine_factored_spectral():
+    """Dynamic runs (sz and sector-changing s+) agree between the
+    factored and flat engines."""
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    def eng(opts):
+        inp = parse_input(f"""
+TotalNumberOfSites=8
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions={opts}
+TargetSzPlusConst=4
+IsPeriodicX=1
+""")
+        g = Geometry(inp)
+        return Engine(build_model(inp, g), inp)
+
+    e1 = eng("none")
+    e2 = eng("factored")
+    om = np.linspace(-2, 8, 40)
+    for op in ("sz", "splus"):
+        c1, _ = e1.spectral_function(op, 1, 3, spin=0)
+        c2, _ = e2.spectral_function(op, 1, 3, spin=0)
+        g1 = sum(cf.evaluate(om, 0.1) for cf in c1.items)
+        g2 = sum(cf.evaluate(om, 0.1) for cf in c2.items)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-6)
