@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(1,))
 def _lanczos_chunk(ham, V, v, js):
     """Run len(js) Lanczos steps continuing from (V, v); js are the
     global step indices written into V.

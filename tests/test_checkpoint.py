@@ -117,3 +117,36 @@ def test_plain_two_pass_lanczos():
     assert e_plain[0] == pytest.approx(e_ref[0], abs=1e-9)
     ov = abs(np.vdot(np.asarray(v_plain[0]), np.asarray(v_ref[0])))
     assert ov == pytest.approx(1.0, abs=1e-6)
+
+
+def test_matvec_deterministic():
+    """Determinism check (SURVEY section 5: deterministic-reduction
+    tests): repeated applications produce bit-identical results."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+
+    inp = parse_input("""
+TotalNumberOfSites=8
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=HubbardOneBand
+hubbardU 8 4 4 4 4 4 4 4 4
+potentialV 16 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+TargetElectronsUp=4
+TargetElectronsDown=4
+SolverOptions=none
+""")
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(model.default_parts(inp))
+    ham = model.hamiltonian(basis)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(ham.dim))
+    y1 = np.asarray(ham.matvec(x))
+    y2 = np.asarray(ham.matvec(x))
+    assert np.array_equal(y1, y2)
