@@ -39,11 +39,48 @@ def _device_backend_healthy(timeout_s: int = 180) -> bool:
     return False
 
 
-if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS") != "cpu":
-    if not _device_backend_healthy():
-        print("bench: accelerator probe failed; falling back to CPU",
-              file=sys.stderr)
-        os.environ["LPP_BENCH_FORCE_CPU"] = "1"
+def _run_inner(env, timeout_s):
+    """Run this script in --inner mode and return its JSON line, or
+    None on hang/crash.  The accelerator can wedge mid-run even after a
+    passing probe (relay-backed worker), so the workload itself must be
+    killable without losing the fallback path."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True, timeout=timeout_s, env=env)
+        if r.stderr:
+            sys.stderr.write(r.stderr.decode(errors="replace")[-2000:])
+        for ln in r.stdout.decode(errors="replace").splitlines():
+            if ln.startswith("{"):
+                return ln
+    except subprocess.TimeoutExpired:
+        print("bench: inner run timed out", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: inner run failed: {e}", file=sys.stderr)
+    return None
+
+
+if __name__ == "__main__" and "--inner" not in sys.argv:
+    line = None
+    env = dict(os.environ)
+    want_device = (env.get("JAX_PLATFORMS") != "cpu" and
+                   not env.get("LPP_BENCH_FORCE_CPU"))
+    if want_device:
+        if _device_backend_healthy():
+            line = _run_inner(env, 480)
+        else:
+            print("bench: accelerator probe failed", file=sys.stderr)
+    if line is None:
+        print("bench: falling back to CPU", file=sys.stderr)
+        env["LPP_BENCH_FORCE_CPU"] = "1"
+        line = _run_inner(env, 480)
+    if line is None:
+        line = json.dumps({
+            "metric": "hubbard_sector_spmv_nnz_per_s", "value": 0.0,
+            "unit": "Gnnz/s", "vs_baseline": 0.0,
+            "detail": {"error": "both device and cpu runs failed"}})
+    print(line)
+    sys.exit(0)
 
 import jax
 
