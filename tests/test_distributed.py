@@ -87,3 +87,30 @@ def test_halo_lowest_states_matches():
     assert evals_h[0] == pytest.approx(evals_s[0], abs=1e-9)
     ov = abs(np.vdot(vecs_h[0], np.asarray(vecs_s[0])))
     assert ov == pytest.approx(1.0, abs=1e-7)
+
+
+def test_halo_plain_tridiagonalize_matches():
+    """Distributed continued-fraction ingredients: the memory-light
+    (alpha, beta) recurrence over the halo-exchange Hamiltonian equals
+    the single-device one (same start vector), so spectral functions
+    can run sharded."""
+    from lanczosplusplus_tpu.parallel.halo import HaloPlan
+    from lanczosplusplus_tpu.solver.lanczos import tridiagonalize_plain
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    plan = HaloPlan(ham, 8)
+    sham = plan.hamiltonian(mesh)
+    rng = np.random.default_rng(5)
+    v0 = rng.standard_normal(ham.dim)
+    v0 /= np.linalg.norm(v0)
+    v0p = np.concatenate([v0, np.zeros(plan.dim - ham.dim)])
+    res_d = tridiagonalize_plain(
+        sham, pmesh.sharded_vector(v0p, mesh), 60)
+    import jax.numpy as jnp
+    res_s = tridiagonalize_plain(ham, jnp.asarray(v0), 60)
+    m = min(res_d.m, res_s.m)
+    np.testing.assert_allclose(res_d.alphas[:m], res_s.alphas[:m],
+                               atol=1e-8)
+    np.testing.assert_allclose(res_d.betas[:m - 1], res_s.betas[:m - 1],
+                               atol=1e-8)
