@@ -21,9 +21,12 @@ J_PM/J_ZZ couplings from geometry terms 1/2 when present
 (FeBasedSc.h:484-520, 594-604), AnisotropyD * (sum_orb Sz_i_orb)^2, and
 hopping with h = -geometry(i,orb,j,orb2,0) (FeBasedSc.h:321-324).
 
-Other FeAsMode values (INT_V, INT_CODE2, INT_IMPURITY, INT_KSPACE) and
-the onsite SpinOrbit 4x4 matrix (which needs the spin-mixing
-BasisFeAsSpinOrbit union basis) are not implemented yet and raise.
+All FeAsMode values (INT_PAPER33, INT_V, INT_CODE2, INT_IMPURITY,
+INT_KSPACE) are implemented here.  The onsite SpinOrbit 4x4 matrix
+needs the spin-mixing union basis and lives in
+`models/feas_spinorbit.py` (the registry dispatches there when a
+SpinOrbit label is present); constructing this class directly with
+SpinOrbit input raises.
 """
 
 from __future__ import annotations
@@ -195,8 +198,9 @@ class FeBasedScModel:
         self.mode = mode
         if inp.has("SpinOrbit"):
             raise NotImplementedError(
-                "onsite SpinOrbit matrix needs the spin-mixing basis; "
-                "not implemented yet")
+                "onsite SpinOrbit matrix needs the spin-mixing basis: "
+                "use models.build_model, which dispatches to "
+                "FeAsSpinOrbitModel")
         u = list(inp.vector("hubbardU"))
         o_ = inp.integer("Orbitals")
         if mode in ("INT_PAPER33", "INT_IMPURITY"):
