@@ -190,8 +190,11 @@ def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
     v0 = pmesh.sharded_vector(v0, mesh)
     V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
                        NamedSharding(mesh, P(None, ROWS)))
-    from lanczosplusplus_tpu.solver.lanczos import _lanczos_chunk
-    V, v, alphas, betas = _lanczos_chunk(sham, V, v0, jnp.arange(steps))
+    from lanczosplusplus_tpu.solver.lanczos import (
+        _lanczos_chunk_selective, _selective_init_state)
+    state = _selective_init_state(v0, steps)
+    V, state, alphas, betas, _ = _lanczos_chunk_selective(
+        sham, V, state, jnp.arange(steps))
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     scale = max(np.abs(alphas).max(initial=0.0),

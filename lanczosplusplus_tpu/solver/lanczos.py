@@ -25,6 +25,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _reorth_pass(V, w):
+    """One classical Gram-Schmidt pass of w against the rows of V.
+
+    V may be stored in a lower precision than w (e.g. bfloat16): the
+    two GEMVs then read half the bytes — the dominant memory traffic
+    of a reorthogonalized Lanczos step — while the result stays in the
+    compute dtype."""
+    if V.dtype != w.dtype:
+        coeffs = jax.lax.dot_general(
+            jnp.conj(V), w.astype(V.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=w.dtype)
+        return w - jax.lax.dot_general(
+            V, coeffs.astype(V.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=w.dtype)
+    coeffs = jnp.conj(V) @ w
+    return w - V.T @ coeffs
+
+
 @partial(jax.jit, donate_argnums=(1,))
 def _lanczos_chunk(ham, V, v, js):
     """Run len(js) Lanczos steps continuing from (V, v); js are the
@@ -37,20 +57,7 @@ def _lanczos_chunk(ham, V, v, js):
     orthogonality to ~1e-3 and is only for throughput-oriented runs.
     """
 
-    low_v = V.dtype != v.dtype
-
-    def reorth_pass(V, w):
-        if low_v:
-            coeffs = jax.lax.dot_general(
-                jnp.conj(V), w.astype(V.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=w.dtype)
-            return w - jax.lax.dot_general(
-                V, coeffs.astype(V.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=w.dtype)
-        coeffs = jnp.conj(V) @ w
-        return w - V.T @ coeffs
+    reorth_pass = lambda V, w: _reorth_pass(V, w)
 
     def body(carry, j):
         V, v = carry
@@ -77,41 +84,165 @@ def _lanczos_chunk(ham, V, v, js):
     return V, v, alphas, betas
 
 
+@partial(jax.jit, donate_argnums=(1,))
+def _lanczos_chunk_selective(ham, V, state, js):
+    """Run len(js) Lanczos steps with *selective* reorthogonalization
+    (Simon's omega-recurrence).  The scan carries a running estimate
+    omega[i] ~ <v_k, v_i> of the orthogonality loss against every
+    stored Krylov vector, updated each step from the three-term
+    coefficients alone (O(steps) work).  Only when max|omega| crosses
+    the threshold does the step pay the two full-V GEMV passes that
+    full reorthogonalization pays every step; the following step is
+    reorthogonalized too (the classic pairwise rule), then the
+    estimates reset to the noise floor.  Typical steps therefore cost
+    one matvec + two AXPYs — the plain-Lanczos rate — while Ritz
+    values keep full-reorth accuracy (semiorthogonality is sufficient:
+    Simon 1984; reference solver reorthogonalizes fully every step,
+    PsimagLite LanczosSolver as used at Engine.h:609-626).
+    """
+    v, v_prev, beta_prev, omega, omega_prev, a_hist, b_hist, force = state
+    rdt = omega.dtype
+    eps = float(max(jnp.finfo(V.dtype).eps, jnp.finfo(v.dtype).eps))
+    eta = eps ** (2.0 / 3.0)      # trigger threshold
+    eps1 = 10.0 * eps             # per-step noise floor of the estimate
+
+    def do_reorth(Vc, ww):
+        n0 = jnp.linalg.norm(ww)
+        ww = _reorth_pass(Vc, ww)
+        n1 = jnp.linalg.norm(ww)
+        return jax.lax.cond(n1 < 0.7071 * n0,
+                            lambda x: _reorth_pass(Vc, x),
+                            lambda x: x, ww)
+
+    def body(carry, j):
+        (V, v, v_prev, beta_prev, omega, omega_prev,
+         a_hist, b_hist, force) = carry
+        V = V.at[j].set(v.astype(V.dtype))
+        w = ham.matvec(v)
+        alpha = jnp.real(jnp.vdot(v, w)).astype(rdt)
+        w = w - alpha.astype(w.dtype) * v \
+            - beta_prev.astype(w.dtype) * v_prev
+        a_hist = a_hist.at[j].set(alpha)
+        beta0 = jnp.linalg.norm(w).astype(rdt)
+
+        # omega recurrence:  beta_k * omega_{k+1,i} =
+        #   b_i*omega_{k,i+1} + (a_i - a_k)*omega_{k,i}
+        #   + b_{i-1}*omega_{k,i-1} - b_{k-1}*omega_{k-1,i}
+        # (b[i] couples steps i and i+1).
+        omega_k = omega.at[j].set(1.0)           # omega_{k,k} = 1
+        om_plus = jnp.roll(omega_k, -1).at[-1].set(0.0)
+        om_minus = jnp.roll(omega_k, 1).at[0].set(0.0)
+        b_minus = jnp.roll(b_hist, 1).at[0].set(0.0)
+        num = (b_hist * om_plus + (a_hist - alpha) * omega_k
+               + b_minus * om_minus - beta_prev * omega_prev)
+        safe_b0 = jnp.maximum(beta0, jnp.asarray(1e-30, rdt))
+        idx = jnp.arange(omega.shape[0])
+        om_new = num / safe_b0
+        om_new = om_new + jnp.where(om_new >= 0, eps1, -eps1)
+        om_new = jnp.where(idx < j, om_new, 0.0)
+        om_new = om_new.at[j].set(eps1)          # omega_{k+1,k}: local orth
+
+        need = jnp.logical_or(force,
+                              jnp.max(jnp.abs(om_new)) > eta)
+        w = jax.lax.cond(need, do_reorth, lambda Vc, x: x, V, w)
+        om_new = jnp.where(need,
+                           jnp.where(idx <= j, eps1, 0.0), om_new)
+        force_next = jnp.logical_and(need, jnp.logical_not(force))
+
+        beta = jnp.linalg.norm(w).astype(rdt)
+        b_hist = b_hist.at[j].set(beta)
+        safe = jnp.maximum(beta, jnp.asarray(1e-30, rdt))
+        v_next = jnp.where(beta > 0, w / safe.astype(w.dtype),
+                           jnp.zeros_like(w))
+        carry = (V, v_next, v, beta, om_new, omega_k,
+                 a_hist, b_hist, force_next)
+        return carry, (alpha, beta, need)
+
+    init = (V, v, v_prev, beta_prev, omega, omega_prev,
+            a_hist, b_hist, force)
+    carry, (alphas, betas, reorthed) = jax.lax.scan(body, init, js)
+    V = carry[0]
+    state = carry[1:]
+    return V, state, alphas, betas, reorthed
+
+
+def _selective_init_state(v0, steps: int):
+    rdt = jnp.float64 if v0.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    z = jnp.zeros((steps,), rdt)
+    return (v0, jnp.zeros_like(v0), jnp.asarray(0.0, rdt),
+            z, z, z, z, jnp.asarray(False))
+
+
 def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
-                  reorth_dtype=None):
+                  reorth_dtype=None, reorth="selective"):
     """Full run with optional chunked checkpointing: the Krylov basis,
     (alpha, beta) and the current vector are persisted to
     `checkpoint`.npz after each chunk and restored on restart — the
-    resume capability the reference lacks (SURVEY.md section 5)."""
+    resume capability the reference lacks (SURVEY.md section 5).
+
+    reorth='selective' (default) pays the full-V Gram-Schmidt passes
+    only when the omega-recurrence estimate crosses threshold;
+    reorth='full' pays them every step (the reference's policy)."""
     dim = v0.shape[0]
     dtype = v0.dtype
+    selective = reorth == "selective"
     V = jnp.zeros((steps, dim), dtype=reorth_dtype or dtype)
+    state = _selective_init_state(v0, steps)
     v = v0
     alphas = []
     betas = []
+    nreorth = 0
     start = 0
     if checkpoint is not None and os.path.exists(checkpoint):
         data = np.load(checkpoint)
-        if int(data["steps"]) == steps and int(data["dim"]) == dim:
+        saved_mode = str(data["mode"]) if "mode" in data.files else "full"
+        if (int(data["steps"]) == steps and int(data["dim"]) == dim and
+                saved_mode == reorth):
             start = int(data["next_step"])
             V = jnp.asarray(data["V"])
             v = jnp.asarray(data["v"])
             alphas = list(data["alphas"])
             betas = list(data["betas"])
+            if selective:
+                state = (v, jnp.asarray(data["s_vprev"]),
+                         jnp.asarray(data["s_betaprev"]),
+                         jnp.asarray(data["s_omega"]),
+                         jnp.asarray(data["s_omegaprev"]),
+                         jnp.asarray(data["s_ahist"]),
+                         jnp.asarray(data["s_bhist"]),
+                         jnp.asarray(bool(data["s_force"])))
     chunk = chunk or (steps if checkpoint is None else max(steps // 8, 1))
     j = start
     while j < steps:
         n = min(chunk, steps - j)
-        V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(j, j + n))
+        if selective:
+            V, state, a, b, re = _lanczos_chunk_selective(
+                ham, V, state, jnp.arange(j, j + n))
+            v = state[0]
+            nreorth += int(np.asarray(re).sum())
+        else:
+            V, v, a, b = _lanczos_chunk(ham, V, v, jnp.arange(j, j + n))
         alphas.extend(np.asarray(a))
         betas.extend(np.asarray(b))
         j += n
         if checkpoint is not None:
+            extra = {}
+            if selective:
+                extra = dict(s_vprev=np.asarray(state[1]),
+                             s_betaprev=np.asarray(state[2]),
+                             s_omega=np.asarray(state[3]),
+                             s_omegaprev=np.asarray(state[4]),
+                             s_ahist=np.asarray(state[5]),
+                             s_bhist=np.asarray(state[6]),
+                             s_force=np.asarray(state[7]))
             np.savez(checkpoint,
                      V=np.asarray(V), v=np.asarray(v),
                      alphas=np.asarray(alphas), betas=np.asarray(betas),
-                     next_step=j, steps=steps, dim=dim)
-    return V, jnp.asarray(np.asarray(alphas)), jnp.asarray(np.asarray(betas))
+                     next_step=j, steps=steps, dim=dim, mode=reorth,
+                     **extra)
+    return (V, jnp.asarray(np.asarray(alphas)),
+            jnp.asarray(np.asarray(betas)), nreorth)
 
 
 @jax.jit
@@ -234,14 +365,17 @@ class LanczosResult:
 
 
 def tridiagonalize(ham, v0, steps: int, checkpoint=None,
-                   chunk=None, reorth_dtype=None) -> LanczosResult:
+                   chunk=None, reorth_dtype=None,
+                   reorth="selective") -> LanczosResult:
     """Run `steps` Lanczos iterations from normalized v0 (optionally
     checkpointed/resumable; optionally with a low-precision Krylov
     basis, see _lanczos_scan)."""
     steps = int(min(steps, v0.shape[0]))
-    V, alphas, betas = _lanczos_scan(ham, v0, steps, checkpoint=checkpoint,
-                                     chunk=chunk,
-                                     reorth_dtype=reorth_dtype)
+    V, alphas, betas, _ = _lanczos_scan(ham, v0, steps,
+                                        checkpoint=checkpoint,
+                                        chunk=chunk,
+                                        reorth_dtype=reorth_dtype,
+                                        reorth=reorth)
     alphas = np.asarray(alphas, dtype=np.float64)
     betas = np.asarray(betas, dtype=np.float64)
     # trim at breakdown (invariant subspace found)
@@ -290,7 +424,8 @@ def random_start_vector(dim: int, seed: int, dtype) -> jax.Array:
 
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
                   max_steps: int = 200, tol: float = 1e-10,
-                  krylov_budget_bytes: int = 6 << 30):
+                  krylov_budget_bytes: int = 6 << 30,
+                  reorth="selective"):
     """Lowest `num_states` eigenpairs of a sector Hamiltonian.
 
     Equivalent to LanczosSolver::computeAllStatesBelow as driven by
@@ -317,7 +452,7 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
         tol = max(tol, 1e-6)
     while True:
-        res = tridiagonalize(ham, v0, steps)
+        res = tridiagonalize(ham, v0, steps, reorth=reorth)
         evals, evecs = tridiag_eigh(res.alphas, res.betas)
         # a-posteriori Ritz residual estimate: |beta_m * u[last]|
         # (standard Lanczos bound) for the requested states

@@ -55,22 +55,22 @@ def test_checkpoint_partial_then_resume(tmp_path):
     v0 = lz.random_start_vector(ham.dim, 5, np.float64)
     ck = str(tmp_path / "lz2.npz")
     import lanczosplusplus_tpu.solver.lanczos as L
-    # interrupt after one chunk by monkeypatching the chunk runner
+    # interrupt after two chunks by monkeypatching the chunk runner
     calls = {"n": 0}
-    orig = L._lanczos_chunk
+    orig = L._lanczos_chunk_selective
 
-    def limited(ham_, V, v, js):
+    def limited(ham_, V, state, js):
         if calls["n"] >= 2:
             raise KeyboardInterrupt
         calls["n"] += 1
-        return orig(ham_, V, v, js)
+        return orig(ham_, V, state, js)
 
-    L._lanczos_chunk = limited
+    L._lanczos_chunk_selective = limited
     try:
         with pytest.raises(KeyboardInterrupt):
             L._lanczos_scan(ham, v0, 60, checkpoint=ck, chunk=10)
     finally:
-        L._lanczos_chunk = orig
+        L._lanczos_chunk_selective = orig
     # resume completes and matches an uninterrupted run
     res = lz.tridiagonalize(ham, v0, 60, checkpoint=ck, chunk=10)
     ref = lz.tridiagonalize(ham, v0, 60)
@@ -98,6 +98,37 @@ def test_bf16_krylov_basis_accuracy():
     e32 = L.tridiag_eigh(res32.alphas, res32.betas)[0][0]
     e16 = L.tridiag_eigh(res16.alphas, res16.betas)[0][0]
     assert abs(e32 - e16) / abs(e32) < 2e-3
+
+
+def test_selective_reorth_accuracy_and_sparsity():
+    """Selective (omega-recurrence) reorthogonalization must match the
+    full-reorth tridiagonal at oracle accuracy while paying the full-V
+    Gram-Schmidt passes on only a small fraction of steps, and must
+    keep the Krylov basis semiorthogonal."""
+    ham = build_ham()
+    v0 = lz.random_start_vector(ham.dim, 123, np.float64)
+    V, a, b, nre = lz._lanczos_scan(ham, v0, 120, reorth="selective")
+    dense = np.linalg.eigvalsh(ham.to_dense())[:4]
+    es = lz.tridiag_eigh(np.asarray(a), np.asarray(b))[0][:4]
+    np.testing.assert_allclose(es, dense, atol=1e-10)
+    assert 0 < nre < 120 // 3, f"reorth on {nre}/120 steps"
+    G = np.asarray(V) @ np.asarray(V).T
+    assert np.abs(G - np.eye(120)).max() < 1e-10
+
+
+def test_selective_reorth_checkpoint_resume(tmp_path):
+    """Chunked + checkpointed selective run resumes to the same
+    tridiagonal as an uninterrupted one (the omega-estimate state is
+    part of the checkpoint)."""
+    ham = build_ham()
+    v0 = lz.random_start_vector(ham.dim, 9, np.float64)
+    ref = lz.tridiagonalize(ham, v0, 60)
+    ck = str(tmp_path / "sel.npz")
+    import lanczosplusplus_tpu.solver.lanczos as L
+    L._lanczos_scan(ham, v0, 60, checkpoint=ck, chunk=17)
+    res = lz.tridiagonalize(ham, v0, 60, checkpoint=ck, chunk=17)
+    np.testing.assert_allclose(res.alphas, ref.alphas, atol=1e-9)
+    np.testing.assert_allclose(res.betas, ref.betas, atol=1e-9)
 
 
 def test_excited_states_match_dense():
