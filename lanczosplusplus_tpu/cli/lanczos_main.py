@@ -118,6 +118,11 @@ def run(argv=None):
             raise SystemExit("cannot have both TSPCenter and DoAllPairs")
         pair_of_sites += [(i, j) for i in range(n) for j in range(n)]
 
+    if gf_ops and not pair_of_sites:
+        print("lanczos_main: -g given but no TSPSites/TSPCenter/"
+              "DoAllPairs in the input; no spectral pairs to run",
+              file=sys.stderr)
+
     filename = os.path.basename(args.input)
     norb = max_orbitals(model, n)
     for op_name in gf_ops:
