@@ -83,6 +83,13 @@ class Engine:
         if self._flat_ham is None:
             self._flat_ham = self.model.hamiltonian(
                 self.basis, dtype=self.config.scalar_dtype)
+            # on accelerators, materialize spin-separable Kronecker
+            # factors as dense one-spin matrices so the Lanczos hot
+            # loop runs as MXU GEMMs (CPU keeps the gather form: dense
+            # size^2 matmuls don't pay off there and tests run f64)
+            import jax
+            if jax.default_backend() != "cpu":
+                self._flat_ham = self._flat_ham.densify_factors()
         return self._flat_ham
 
     def _solve_factored(self, nstates):

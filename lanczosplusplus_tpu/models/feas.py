@@ -432,12 +432,12 @@ class FeBasedScModel:
                             jpm_pairs.append((i * o + o1, j * o + o2,
                                               self.jpm_site[i, j]))
 
-        k = max(2 * len(hop_pairs) + 2 * len(u2_pairs) + len(jpm_pairs)
-                + len(quartics), 1)
-        cols = np.tile(np.arange(dim, dtype=np.int64)[:, None], (1, k))
-        vals = np.zeros((dim, k), dtype=dtype)
-        cols3 = cols.reshape(szd, szu, k)
-        vals3 = vals.reshape(szd, szu, k)
+        k = max(2 * len(u2_pairs) + len(jpm_pairs) + len(quartics), 0)
+        cols = np.tile(np.arange(dim, dtype=np.int64)[:, None],
+                       (1, max(k, 1)))
+        vals = np.zeros((dim, max(k, 1)), dtype=dtype)
+        cols3 = cols.reshape(szd, szu, max(k, 1))
+        vals3 = vals.reshape(szd, szu, max(k, 1))
         slot = 0
 
         def site_orb(a):
@@ -449,28 +449,36 @@ class FeBasedScModel:
         base_u = iu
         base_d = idn
 
-        # hopping (spin-conserving, one-spin Kronecker but the reference
-        # sign conventions are easiest kept in the full layout)
-        for (a, b) in hop_pairs:
+        # hopping is spin-conserving: keep it as one-spin Kronecker
+        # factors (I (x) A_up + A_dn (x) I) applied as batched gathers /
+        # MXU GEMMs after densify_factors() — index memory O(size_spin)
+        # instead of the O(dim) broadcast the flat ELL would need
+        # (reference builds the full CRS: FeBasedSc.h setupHamiltonian)
+        ku = max(len(hop_pairs), 1)
+        up_cols = np.tile(iu[:, None], (1, ku))
+        up_vals = np.zeros((szu, ku), dtype=dtype)
+        dn_cols = np.tile(idn[:, None], (1, ku))
+        dn_vals = np.zeros((szd, ku), dtype=dtype)
+        for hk, (a, b) in enumerate(hop_pairs):
             i, orb = site_orb(a)
             j, orb2 = site_orb(b)
             h = self.hop[a, b]
             flip = WORD((1 << a) | (1 << b))
-            for (wrd, occ, is_up) in ((upw, occ_u, True), (dnw, occ_d, False)):
+            for (wrd, occ, is_up) in ((upw, occ_u, True),
+                                      (dnw, occ_d, False)):
                 one = (occ[a] + occ[b]) == 1
                 extra = np.where(occ[a] == 1, -1, 1)
                 sgn = _one_spin_dosign(wrd, i, orb, j, orb2, o)
                 amp1 = np.where(one, h * extra * sgn, 0)
                 onespin = basis.up if is_up else basis.down
-                tgt1 = np.where(one, onespin.rank(wrd ^ flip),
-                                base_u if is_up else base_d)
+                base = base_u if is_up else base_d
+                tgt1 = np.where(one, onespin.rank(wrd ^ flip), base)
                 if is_up:
-                    cols3[:, :, slot] = full_idx(tgt1, base_d)
-                    vals3[:, :, slot] = amp1[None, :]
+                    up_cols[:, hk] = tgt1
+                    up_vals[:, hk] = amp1
                 else:
-                    cols3[:, :, slot] = full_idx(base_u, tgt1)
-                    vals3[:, :, slot] = amp1[:, None]
-                slot += 1
+                    dn_cols[:, hk] = tgt1
+                    dn_vals[:, hk] = amp1
 
         # onsite U2 transverse exchange + U3 pair hopping share flips
         for (a, b) in u2_pairs:
@@ -542,12 +550,20 @@ class FeBasedScModel:
             vals3[:, :, slot] = np.where(cond, 0.5 * jv * sign, 0)
             slot += 1
 
-        ell = EllPart(cols=jnp.asarray(cols3.reshape(dim, k)
-                                       .astype(np.int32)),
-                      vals=jnp.asarray(vals3.reshape(dim, k)))
+        ell = None
+        if k > 0:
+            ell = EllPart(cols=jnp.asarray(cols3.reshape(dim, k)
+                                           .astype(np.int32)),
+                          vals=jnp.asarray(vals3.reshape(dim, k)))
+        from lanczosplusplus_tpu.core.sparse import SpinFactorizedPart
+        factorized = SpinFactorizedPart(
+            up_cols=jnp.asarray(up_cols.astype(np.int32)),
+            up_vals=jnp.asarray(up_vals),
+            dn_cols=jnp.asarray(dn_cols.astype(np.int32)),
+            dn_vals=jnp.asarray(dn_vals))
         return Hamiltonian(
             diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
-            ell=ell, factorized=None, spin_shape=None)
+            ell=ell, factorized=factorized, spin_shape=(szd, szu))
 
     # -- operator maps ----------------------------------------------------
 

@@ -174,13 +174,15 @@ class ImmmModel:
         nb = n * 2
         pairs = [(a, b) for a in range(nb) for b in range(a + 1, nb)
                  if self.hop[a, b] != 0]
-        k = max(2 * len(pairs), 1)
-        cols = np.tile(np.arange(dim, dtype=np.int64)[:, None], (1, k))
-        vals = np.zeros((dim, k), dtype=dtype)
-        cols3 = cols.reshape(szd, szu, k)
-        vals3 = vals.reshape(szd, szu, k)
-        slot = 0
-        for (a, b) in pairs:
+        # the off-diagonal is hopping-only (reference: Immm.h:96-160),
+        # which is spin-conserving: keep it as one-spin Kronecker
+        # factors instead of broadcasting over the full dim
+        ku = max(len(pairs), 1)
+        up_cols = np.tile(iu[:, None], (1, ku))
+        up_vals = np.zeros((szu, ku), dtype=dtype)
+        dn_cols = np.tile(idn[:, None], (1, ku))
+        dn_vals = np.zeros((szd, ku), dtype=dtype)
+        for hk, (a, b) in enumerate(pairs):
             i, orb = a // 2, a % 2
             j, orb2 = b // 2, b % 2
             h = self.hop[a, b]
@@ -196,18 +198,20 @@ class ImmmModel:
                 tgt = np.where(one, onespin.rank(wrd ^ flip),
                                iu if is_up else idn)
                 if is_up:
-                    cols3[:, :, slot] = tgt[None, :] + idn[:, None] * szu
-                    vals3[:, :, slot] = amp[None, :]
+                    up_cols[:, hk] = tgt
+                    up_vals[:, hk] = amp
                 else:
-                    cols3[:, :, slot] = iu[None, :] + tgt[:, None] * szu
-                    vals3[:, :, slot] = amp[:, None]
-                slot += 1
-        ell = EllPart(cols=jnp.asarray(cols3.reshape(dim, k)
-                                       .astype(np.int32)),
-                      vals=jnp.asarray(vals3.reshape(dim, k)))
+                    dn_cols[:, hk] = tgt
+                    dn_vals[:, hk] = amp
+        from lanczosplusplus_tpu.core.sparse import SpinFactorizedPart
+        factorized = SpinFactorizedPart(
+            up_cols=jnp.asarray(up_cols.astype(np.int32)),
+            up_vals=jnp.asarray(up_vals),
+            dn_cols=jnp.asarray(dn_cols.astype(np.int32)),
+            dn_vals=jnp.asarray(dn_vals))
         return Hamiltonian(
             diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
-            ell=ell, factorized=None, spin_shape=None)
+            ell=None, factorized=factorized, spin_shape=(szd, szu))
 
     def operator_map(self, op, site, spin, orb, src_basis: ImmmBasis,
                      dst_basis: ImmmBasis):
