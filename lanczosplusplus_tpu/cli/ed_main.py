@@ -15,10 +15,28 @@ from lanczosplusplus_tpu.engine.thermal import ExactDiag
 def run(argv=None):
     p = argparse.ArgumentParser(prog="ed++")
     p.add_argument("-f", dest="input", required=True)
+    p.add_argument("--ftlm", action="store_true",
+                   help="estimate <E>(T) by the finite-temperature "
+                        "Lanczos method instead of the full spectrum "
+                        "(scales to sectors dense eigh cannot touch)")
     args = p.parse_args(argv)
     inp = read_input(args.input)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
+    use_ftlm = args.ftlm or "ftlm" in inp.solver_options()
+    if use_ftlm:
+        from lanczosplusplus_tpu.engine.ftlm import ftlm_schedule
+        schedule, res = ftlm_schedule(
+            model, inp,
+            num_vectors=inp.integer("FTLMVectors", default=32),
+            steps=inp.integer("FTLMSteps", default=80))
+        sys.stdout.write(
+            f"#tb={inp.string('TemperatureOrBeta', default='temperature')}"
+            f" method=FTLM R={res.num_vectors} M={res.steps}\n"
+            "#Parameter Energy\n")
+        for tb, e in schedule:
+            sys.stdout.write(f"{tb} {e}\n")
+        return res
     ed = ExactDiag(model, inp)
     ed.print_energies(sys.stdout)
     return ed
