@@ -47,6 +47,11 @@ def run(argv=None):
     p.add_argument("-r", dest="split", type=int, default=-1,
                    help="reduced density matrix split site")
     p.add_argument("-p", dest="precision", type=int, default=8)
+    p.add_argument("--kpm", action="store_true",
+                   help="also evaluate diagonal -g spectra by the "
+                        "kernel polynomial method on an omega grid "
+                        "(labels KPMOmegaBegin/Step/Total, KPMMoments); "
+                        "writes <input><counter>.kpmdos")
     p.add_argument("-S", dest="threads", type=int, default=1,
                    help="accepted for compatibility; parallelism is "
                         "the device mesh")
@@ -151,6 +156,23 @@ def run(argv=None):
                     f.write(f"TSPCenter={center}\n")
                 all_cf.write(f, index_to_cf=labels)
             print(f"lanczos_main: Written to {out}", file=sys.stderr)
+            if args.kpm and site0 == site1:
+                begin = inp.real("KPMOmegaBegin", default=-12.0)
+                step = inp.real("KPMOmegaStep", default=0.02)
+                total = inp.integer("KPMOmegaTotal", default=1201)
+                moments = inp.integer("KPMMoments", default=512)
+                omegas = begin + step * np.arange(total)
+                dos = engine.kpm_local_dos(op_name, site0, omegas,
+                                           spin=spins[0],
+                                           num_moments=moments)
+                kout = f"{filename}{counter}.kpmdos"
+                with open(kout, "w") as f:
+                    f.write(f"#KPM site={site0} op={op_name} "
+                            f"moments={moments}\n#omega N(omega)\n")
+                    for w, d in zip(omegas, dos):
+                        f.write(f"{w:.10g} {d:.10g}\n")
+                print(f"lanczos_main: Written to {kout}",
+                      file=sys.stderr)
             counter += 1
 
     for op_name in args.cicj:

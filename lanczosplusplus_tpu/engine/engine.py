@@ -288,6 +288,47 @@ class Engine:
             alphas=res.alphas, betas=res.betas, e0=self.ground_energy,
             weight=weight * s2, sigma=s)
 
+    def kpm_local_dos(self, op_name: str, isite: int, omegas,
+                      spin: int = 0, orb: int = 0,
+                      num_moments: int = 512):
+        """N_i(omega) by the kernel polynomial method: the diagonal
+        spectral function (types 0/1 of Engine.h:133-206) evaluated as
+        a Jackson-broadened Chebyshev density instead of a Lanczos
+        continued fraction.  Addition poles land at
+        omega = E_n - E0 > 0, removal poles are mirrored to
+        omega = E0 - E_n < 0.  Scales to destination sectors where the
+        stored-V Lanczos basis would not fit (O(2 vectors) memory, no
+        reorthogonalization)."""
+        from lanczosplusplus_tpu.engine.kpm import kpm_spectral
+
+        op1 = LabeledOperator(op_name)
+        op2 = op1.transpose_conjugate()
+        gs = np.asarray(self.eigenvector(0))
+        omegas = np.asarray(omegas, dtype=np.float64)
+        total = np.zeros_like(omegas)
+        for type_ in range(2):
+            op = op1 if (type_ & 1) else op2
+            if op.needs_new_basis:
+                new_parts = self.model.has_new_parts(
+                    self.parts, op, spin, orb)
+                if new_parts is None:
+                    continue
+                basis_new = self._cached_basis(new_parts)
+            else:
+                new_parts = self.parts
+                basis_new = self.basis
+            modif = np.zeros(basis_new.size, dtype=gs.dtype)
+            self.acc_modified_state(modif, op, basis_new, gs, self.basis,
+                                    isite, spin, orb, 1.0)
+            if np.vdot(modif, modif).real < 1e-24:
+                continue
+            ham_new = self._cached_hamiltonian(new_parts)
+            grid = omegas if type_ == 0 else -omegas
+            total = total + kpm_spectral(
+                ham_new, modif, grid, self.ground_energy,
+                num_moments=num_moments)
+        return total
+
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
     def two_point(self, op_name: str, spin=(0, 0), orbs=(0, 0),
