@@ -229,6 +229,51 @@ class Hamiltonian:
                                x[self.ell.cols, :])
         return y
 
+    def matmat_t(self, xk):
+        """Batch-MAJOR SpMM: apply H to the rows of xk (k, dim).
+
+        On TPU the (dim, k) column layout of `matmat` forces strided
+        transposes around the factor GEMMs (k is the minor dim).  With
+        the batch leading, the up-factor contraction folds (k, szd)
+        into the GEMM row dimension (pure MXU, no transpose) and the
+        dn-factor needs a single well-tiled (k, u, c)->(k, c, u)
+        transpose per application.  Recurrences (FTLM/KPM) keep their
+        carriers in this layout for the whole scan."""
+        y = self.diag[None, :] * xk
+        k = xk.shape[0]
+        if self.factorized is not None:
+            f = self.factorized
+            szd, szu = self.spin_shape
+            x3 = xk.reshape(k, szd, szu)
+            if f.up_dense is not None:
+                t = jax.lax.dot_general(
+                    x3.reshape(k * szd, szu), f.up_dense,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=xk.dtype)       # (k*d, v)
+                y = y + t.reshape(k, -1)
+            elif f.up_cols is not None:
+                acc = jnp.zeros_like(x3)
+                for kk in range(f.up_cols.shape[1]):
+                    acc = acc + f.up_vals[None, None, :, kk] * \
+                        x3[:, :, f.up_cols[:, kk]]
+                y = y + acc.reshape(k, -1)
+            if f.dn_dense is not None:
+                t = jax.lax.dot_general(
+                    x3, f.dn_dense,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=xk.dtype)       # (k, u, c)
+                y = y + jnp.swapaxes(t, 1, 2).reshape(k, -1)
+            elif f.dn_cols is not None:
+                acc = jnp.zeros_like(x3)
+                for kk in range(f.dn_cols.shape[1]):
+                    acc = acc + f.dn_vals[None, :, kk, None] * \
+                        x3[:, f.dn_cols[:, kk], :]
+                y = y + acc.reshape(k, -1)
+        if self.ell is not None:
+            y = y + jnp.einsum("rs,brs->br", self.ell.vals,
+                               xk[:, self.ell.cols])
+        return y
+
     @property
     def nnz(self) -> int:
         n = self.dim  # diagonal

@@ -61,8 +61,9 @@ class Engine:
                         inp.integer("UseReflectionSymmetry", default=0))
         self._factored = ("factored" in inp.solver_options() and
                           not use_symmetry and
-                          getattr(model, "twice_s", None) == 1 and
-                          type(model).__name__ == "HeisenbergModel")
+                          ((getattr(model, "twice_s", None) == 1 and
+                            type(model).__name__ == "HeisenbergModel") or
+                           type(model).__name__ == "KitaevModel"))
         use_factored = self._factored
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):
@@ -93,12 +94,9 @@ class Engine:
         return self._flat_ham
 
     def _solve_factored(self, nstates):
-        """S=1/2 Heisenberg via the half-chain block factorization
-        (SolverOptions=factored): every hot op is an MXU matmul and the
-        flat ELL is never materialized for the solve."""
-        from lanczosplusplus_tpu.models.heisenberg_factored import \
-            FactoredHeisenbergChain
-
+        """S=1/2 Heisenberg / Kitaev via the half-cut block
+        factorization (SolverOptions=factored): every hot op is an MXU
+        matmul and the flat ELL is never materialized for the solve."""
         ham = self._factored_hamiltonian(self.parts, self.basis)
         evals, vecs = lz.lowest_states(
             ham, num_states=nstates, seed=self.config.seed,
@@ -107,9 +105,16 @@ class Engine:
         self._vectors = [np.asarray(v) for v in vecs]
 
     def _factored_hamiltonian(self, parts, basis):
-        """Flat-ordered block-factorized Hamiltonian for an S=1/2
-        Heisenberg sector (any szpc, so dynamic-run sectors from s+/s-
-        use it too)."""
+        """Flat-ordered block-factorized Hamiltonian: Sz-blocked
+        half-cut for an S=1/2 Heisenberg sector (any szpc, so
+        dynamic-run sectors from s+/s- use it too), plain half-cut
+        Kronecker for Kitaev (full 2^n, flat order is already the
+        product order)."""
+        if type(self.model).__name__ == "KitaevModel":
+            from lanczosplusplus_tpu.models.kitaev_factored import \
+                build_factored_kitaev
+            return build_factored_kitaev(
+                self.model, basis, dtype=self.config.scalar_dtype)
         from lanczosplusplus_tpu.models.heisenberg_factored import \
             FactoredHeisenbergChain
 

@@ -39,29 +39,32 @@ from lanczosplusplus_tpu.solver.lanczos import tridiag_eigh
 
 @partial(jax.jit, static_argnums=(3,))
 def _ftlm_recurrence(ham, V0, Yops, steps):
-    """Batched plain Lanczos over the columns of V0 (dim, R).
+    """Batched plain Lanczos over the ROWS of V0 (R, dim) — the
+    batch-major layout keeps the factor contractions of the batched
+    SpMM (`Hamiltonian.matmat_t`) as clean MXU GEMMs (1.7-3.3x over
+    the column layout on chip).
 
     Returns per-step (alphas, betas) of shape (M, R) and the Krylov
-    dots D[m, o, r] = <v_m | Yops[o, :, r]> needed for operator
-    estimators.  Yops may be (0, dim, R) when only H-moments are
+    dots D[m, o, r] = <v_m | Yops[o, r, :]> needed for operator
+    estimators.  Yops may be (0, R, dim) when only H-moments are
     wanted."""
     rdt = jnp.float64 if V0.dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
 
     def body(carry, _):
         V, V_prev, beta_prev = carry
-        W = ham.matmat(V)
-        alpha = jnp.real(jnp.sum(jnp.conj(V) * W, axis=0)).astype(rdt)
-        W = W - alpha[None, :].astype(W.dtype) * V \
-            - beta_prev[None, :].astype(W.dtype) * V_prev
-        beta = jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=0)).astype(rdt)
+        W = ham.matmat_t(V)
+        alpha = jnp.real(jnp.sum(jnp.conj(V) * W, axis=1)).astype(rdt)
+        W = W - alpha[:, None].astype(W.dtype) * V \
+            - beta_prev[:, None].astype(W.dtype) * V_prev
+        beta = jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=1)).astype(rdt)
         safe = jnp.where(beta > 0, beta, 1.0).astype(W.dtype)
-        V_next = jnp.where((beta > 0)[None, :], W / safe[None, :],
+        V_next = jnp.where((beta > 0)[:, None], W / safe[:, None],
                            jnp.zeros_like(W))
-        dots = jnp.einsum("dr,odr->or", jnp.conj(V), Yops)
+        dots = jnp.einsum("rd,ord->or", jnp.conj(V), Yops)
         return (V_next, V, beta), (alpha, beta, dots)
 
-    init = (V0, jnp.zeros_like(V0), jnp.zeros((V0.shape[1],), rdt))
+    init = (V0, jnp.zeros_like(V0), jnp.zeros((V0.shape[0],), rdt))
     _, (alphas, betas, dots) = jax.lax.scan(body, init, None,
                                             length=steps)
     return alphas, betas, dots
@@ -130,10 +133,11 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
                 raise ValueError(f"operator {name!r}: expected (dim,) "
                                  "diagonal or .matmat object")
             yops.append(diag[:, None] * V0)
-    Yops = jnp.stack(yops) if yops else \
-        jnp.zeros((0, dim, num_vectors), dtype)
+    # batch-major (R, dim) layout for the recurrence
+    Yops = jnp.stack([y.T for y in yops]) if yops else \
+        jnp.zeros((0, num_vectors, dim), dtype)
 
-    alphas, betas_l, dots = _ftlm_recurrence(ham, V0, Yops, steps)
+    alphas, betas_l, dots = _ftlm_recurrence(ham, V0.T, Yops, steps)
     alphas = np.asarray(alphas, dtype=np.float64)      # (M, R)
     betas_l = np.asarray(betas_l, dtype=np.float64)    # (M, R)
     dots = np.asarray(dots)                            # (M, O, R)

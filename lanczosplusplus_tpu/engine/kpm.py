@@ -57,25 +57,27 @@ def jackson_kernel(n: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnums=(4,))
 def _moment_recurrence(ham, phi0, a, b, num_pairs):
-    """Chebyshev moments of the block phi0 (dim, R) for the rescaled
-    Ht = (H - b)/a.  Returns (mu_even, mu_odd) of shape
+    """Chebyshev moments of the batch-MAJOR block phi0 (R, dim) for
+    the rescaled Ht = (H - b)/a.  Returns (mu_even, mu_odd) of shape
     (num_pairs, R): mu_even[k] = mu_{2k}, mu_odd[k] = mu_{2k+1},
-    via the product-rule doubling (one matvec per moment PAIR)."""
+    via the product-rule doubling (one matvec per moment PAIR).  The
+    row layout keeps the batched SpMM (`Hamiltonian.matmat_t`) on
+    clean MXU GEMMs."""
     ainv = jnp.asarray(1.0, phi0.dtype) / a.astype(phi0.dtype)
     bshift = b.astype(phi0.dtype)
 
     def ht(x):
-        return (ham.matmat(x) - bshift * x) * ainv
+        return (ham.matmat_t(x) - bshift * x) * ainv
 
     t0 = phi0                      # T_0 |phi>
     t1 = ht(phi0)                  # T_1 |phi>
-    mu0 = jnp.real(jnp.sum(jnp.conj(phi0) * phi0, axis=0))
-    mu1 = jnp.real(jnp.sum(jnp.conj(phi0) * t1, axis=0))
+    mu0 = jnp.real(jnp.sum(jnp.conj(phi0) * phi0, axis=1))
+    mu1 = jnp.real(jnp.sum(jnp.conj(phi0) * t1, axis=1))
 
     def body(carry, _):
         tk, tk1 = carry            # T_k, T_{k+1} applied to phi
-        even = 2.0 * jnp.real(jnp.sum(jnp.conj(tk) * tk, axis=0)) - mu0
-        odd = 2.0 * jnp.real(jnp.sum(jnp.conj(tk1) * tk, axis=0)) - mu1
+        even = 2.0 * jnp.real(jnp.sum(jnp.conj(tk) * tk, axis=1)) - mu0
+        odd = 2.0 * jnp.real(jnp.sum(jnp.conj(tk1) * tk, axis=1)) - mu1
         tk2 = 2.0 * ht(tk1) - tk
         return (tk1, tk2), (even, odd)
 
@@ -121,7 +123,9 @@ def chebyshev_moments(ham, phi, num_moments: int,
     b = 0.5 * (emax + emin)
     phi2 = jnp.asarray(phi)
     if phi2.ndim == 1:
-        phi2 = phi2[:, None]
+        phi2 = phi2[None, :]
+    else:
+        phi2 = phi2.T                      # batch-major (R, dim)
     num_pairs = (num_moments + 1) // 2
     mu_even, mu_odd = _moment_recurrence(
         ham, phi2, jnp.asarray(a, jnp.float64).astype(phi2.dtype),

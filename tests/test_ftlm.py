@@ -135,7 +135,7 @@ def test_batched_recurrence_matches_single():
     V0 = jnp.asarray(V0)
     steps = 12
     a_b, b_b, _ = _ftlm_recurrence(
-        ham, V0, jnp.zeros((0, basis.size, 3)), steps)
+        ham, V0.T, jnp.zeros((0, 3, basis.size)), steps)
     for r in range(3):
         _, _, _, a1, b1 = _lanczos_chunk_plain(
             ham, V0[:, r], jnp.zeros_like(V0[:, r]),
