@@ -37,47 +37,52 @@ def main():
     x = jax.random.normal(key, (1, dim), jnp.float32)
     x = x / jnp.linalg.norm(x)
 
+    # Relay-backed launches carry a large fixed dispatch latency, so a
+    # single scan timing conflates it with compute: measure TWO scan
+    # lengths and report the slope (per-step marginal cost).
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(np.asarray(leaf).reshape(-1)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(np.asarray(leaf).reshape(-1)[-1])
+        return time.perf_counter() - t0
+
     # KPM: product-rule doubling -> one matvec per moment PAIR
     a = jnp.asarray(10.0, jnp.float32)
     b = jnp.asarray(0.0, jnp.float32)
-    pairs = 16
-    me, mo = _moment_recurrence(ham, x, a, b, pairs)
-    jax.block_until_ready(mo)
-    _ = float(mo[0, 0])
-    t0 = time.perf_counter()
-    me, mo = _moment_recurrence(ham, x, a, b, pairs)
-    jax.block_until_ready(mo)
-    _ = float(mo[-1, 0])
-    dt = time.perf_counter() - t0
+    p1, p2 = 8, 40
+    t1 = timed(lambda: _moment_recurrence(ham, x, a, b, p1))
+    t2 = timed(lambda: _moment_recurrence(ham, x, a, b, p2))
+    dt = max(t2 - t1, 1e-9) / (p2 - p1)
     print(json.dumps({
-        "metric": "kpm_moments_per_s", "value": round(2 * pairs / dt, 1),
+        "metric": "kpm_moments_per_s", "value": round(2.0 / dt, 1),
         "unit": "moments/s",
         "detail": {"platform": platform, "dim": dim, "nnz": nnz,
-                   "ms_per_moment_pair": round(dt / pairs * 1e3, 3),
-                   "gnnz_per_s": round(nnz * pairs / dt / 1e9, 1)}}))
+                   "ms_per_moment_pair": round(dt * 1e3, 3),
+                   "launch_overhead_s": round(t1 - p1 * dt, 2),
+                   "gnnz_per_s": round(nnz / dt / 1e9, 1)}}))
 
     # FTLM: batched plain recurrence over R random vectors
     for R in (4, 16):
         V0 = jax.random.normal(key, (R, dim), jnp.float32)
         V0 = V0 / jnp.linalg.norm(V0, axis=1, keepdims=True)
         Y = jnp.zeros((0, R, dim), jnp.float32)
-        steps = 8
-        al, be, d = _ftlm_recurrence(ham, V0, Y, steps)
-        jax.block_until_ready(be)
-        _ = float(be[0, 0])
-        t0 = time.perf_counter()
-        al, be, d = _ftlm_recurrence(ham, V0, Y, steps)
-        jax.block_until_ready(be)
-        _ = float(be[-1, -1])
-        dt = time.perf_counter() - t0
+        s1, s2 = 4, 20
+        t1 = timed(lambda: _ftlm_recurrence(ham, V0, Y, s1))
+        t2 = timed(lambda: _ftlm_recurrence(ham, V0, Y, s2))
+        dt = max(t2 - t1, 1e-9) / (s2 - s1)
         print(json.dumps({
             "metric": f"ftlm_batched_steps_per_s_R{R}",
-            "value": round(steps / dt, 2), "unit": "block-steps/s",
+            "value": round(1.0 / dt, 2), "unit": "block-steps/s",
             "detail": {"platform": platform, "dim": dim, "R": R,
-                       "ms_per_block_step": round(dt / steps * 1e3, 2),
-                       "vector_steps_per_s": round(R * steps / dt, 1),
-                       "gnnz_per_s": round(
-                           nnz * R * steps / dt / 1e9, 1)}}))
+                       "ms_per_block_step": round(dt * 1e3, 2),
+                       "vector_steps_per_s": round(R / dt, 1),
+                       "gnnz_per_s": round(nnz * R / dt / 1e9, 1)}}))
 
 
 if __name__ == "__main__":

@@ -86,7 +86,7 @@ class FTLMResult:
 def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
          operators: Optional[Dict[str, object]] = None,
          seed: int = 982451653,
-         start_vectors=None) -> FTLMResult:
+         start_vectors=None, trace_dim: Optional[int] = None) -> FTLMResult:
     """FTLM thermal averages of H, H^2 and optional static operators.
 
     `operators` maps a name to either a 1-D diagonal array (dim,) or an
@@ -176,7 +176,10 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
     energy = num_e / zsum
     energy2 = num_e2 / zsum
     cv = beta_grid ** 2 * (energy2 - energy ** 2)
-    log_z = (np.log(zsum) + np.log(dim / num_vectors)
+    # trace_dim: the true Hilbert dimension when ham is padded for a
+    # device mesh (padded rows are excluded by zeroed start vectors
+    # but must not inflate the trace normalization)
+    log_z = (np.log(zsum) + np.log((trace_dim or dim) / num_vectors)
              - beta_grid * e0)
     obs = {names[o]: num_ops[o] / zsum for o in range(nops)}
     return FTLMResult(betas=beta_grid, energy=energy, energy2=energy2,

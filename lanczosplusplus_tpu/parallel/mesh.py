@@ -109,3 +109,73 @@ def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
     vecs = (V.T @ w).T
     vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
     return evals[:k], np.asarray(vecs)[:, :orig_dim]
+
+
+def _padded_random_block(dim, dimp, num_vectors, dtype, seed, mesh):
+    """(dimp, R) random start block: normalized columns over the TRUE
+    dim, zero in the padded rows (padded rows are decoupled eigenvalue-0
+    states; nonzero start amplitude there would contaminate trace
+    estimators), placed row-sharded."""
+    key = jax.random.PRNGKey(seed)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        rdt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
+            else jnp.float32
+        k1, k2 = jax.random.split(key)
+        v = (jax.random.normal(k1, (dim, num_vectors), rdt) +
+             1j * jax.random.normal(k2, (dim, num_vectors), rdt)
+             ).astype(dtype)
+    else:
+        v = jax.random.normal(key, (dim, num_vectors), dtype)
+    v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+    v = jnp.pad(v, ((0, dimp - dim), (0, 0)))
+    return jax.device_put(v, NamedSharding(mesh, P(ROWS, None)))
+
+
+def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
+                     steps: int = 80, seed: int = 982451653,
+                     operators=None):
+    """Finite-temperature Lanczos with the sector row-sharded over the
+    mesh: each batched-recurrence step is a sharded SpMM (XLA inserts
+    the state-block all-gather over ICI) and the per-column scalars are
+    psum reductions.  Diagonal operators (1-D arrays) are padded
+    automatically; matmat-style operator objects must already act on
+    the padded dimension."""
+    from lanczosplusplus_tpu.engine.ftlm import ftlm
+
+    sham = shard_hamiltonian(ham, mesh)
+    dim, dimp = ham.dim, sham.dim
+    V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
+                              seed, mesh)
+    ops = None
+    if operators:
+        ops = {}
+        for name, op in operators.items():
+            if hasattr(op, "matmat") or hasattr(op, "matmat_t"):
+                ops[name] = op
+            else:
+                diag = np.asarray(op)
+                ops[name] = jnp.pad(jnp.asarray(diag),
+                                    (0, dimp - diag.shape[0]))
+    return ftlm(sham, beta_grid, steps=steps, start_vectors=V0,
+                trace_dim=dim, operators=ops)
+
+
+def distributed_kpm_dos(ham, mesh: Mesh, num_moments: int = 256,
+                        num_vectors: int = 16, seed: int = 314159,
+                        bounds=None):
+    """Stochastic-trace density of states by the kernel polynomial
+    method with the sector row-sharded over the mesh (the Chebyshev
+    recurrence's SpMM runs sharded; padded rows carry zero amplitude
+    and the trace is normalized by the TRUE dimension)."""
+    from lanczosplusplus_tpu.engine.kpm import (chebyshev_moments,
+                                                spectral_bounds)
+
+    sham = shard_hamiltonian(ham, mesh)
+    dim, dimp = ham.dim, sham.dim
+    if bounds is None:
+        bounds = spectral_bounds(sham)
+    V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
+                              seed, mesh)
+    res = chebyshev_moments(sham, V0, num_moments, bounds=bounds)
+    res.moments *= dim / num_vectors
+    return res

@@ -114,3 +114,40 @@ def test_halo_plain_tridiagonalize_matches():
                                atol=1e-8)
     np.testing.assert_allclose(res_d.betas[:m - 1], res_s.betas[:m - 1],
                                atol=1e-8)
+
+
+def test_distributed_ftlm_matches_single():
+    """Same seed => same random start block => identical estimates up
+    to padding (padded rows carry zero amplitude)."""
+    from lanczosplusplus_tpu.engine.ftlm import ftlm
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    betas = np.asarray([0.3, 1.0, 4.0])
+    idx = np.arange(ham.dim)
+    docc = np.ones(ham.dim)  # trivial diagonal operator (norm check)
+    res_d = pmesh.distributed_ftlm(ham, mesh, betas, num_vectors=12,
+                                   steps=40, seed=5,
+                                   operators={"one": docc})
+    res_s = ftlm(ham, betas, num_vectors=12, steps=40, seed=5,
+                 operators={"one": docc})
+    np.testing.assert_allclose(res_d.energy, res_s.energy,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res_d.log_z, res_s.log_z,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res_d.observables["one"], 1.0, atol=1e-8)
+
+
+def test_distributed_kpm_matches_single():
+    from lanczosplusplus_tpu.engine.kpm import kpm_dos, spectral_bounds
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    bounds = spectral_bounds(ham)
+    res_d = pmesh.distributed_kpm_dos(ham, mesh, num_moments=32,
+                                      num_vectors=8, seed=3,
+                                      bounds=bounds)
+    res_s = kpm_dos(ham, num_moments=32, num_vectors=8, seed=3,
+                    bounds=bounds)
+    np.testing.assert_allclose(res_d.moments, res_s.moments,
+                               rtol=1e-8, atol=1e-6)
