@@ -47,6 +47,14 @@ def run(argv=None):
     p.add_argument("-r", dest="split", type=int, default=-1,
                    help="reduced density matrix split site")
     p.add_argument("-p", dest="precision", type=int, default=8)
+    p.add_argument("--ftlm-dos", dest="ftlm_beta", type=float,
+                   default=None, metavar="BETA",
+                   help="finite-temperature N_i(omega) at inverse "
+                        "temperature BETA for diagonal -g spectra via "
+                        "the FTLM double-Krylov estimator (labels "
+                        "FTLMOmegaBegin/Step/Total, FTLMDelta, "
+                        "FTLMVectors, FTLMSteps); writes "
+                        "<input><counter>.ftlmdos")
     p.add_argument("--kpm", action="store_true",
                    help="also evaluate diagonal -g spectra by the "
                         "kernel polynomial method on an omega grid "
@@ -172,6 +180,26 @@ def run(argv=None):
                     for w, d in zip(omegas, dos):
                         f.write(f"{w:.10g} {d:.10g}\n")
                 print(f"lanczos_main: Written to {kout}",
+                      file=sys.stderr)
+            if args.ftlm_beta is not None and site0 == site1:
+                begin = inp.real("FTLMOmegaBegin", default=-12.0)
+                step = inp.real("FTLMOmegaStep", default=0.02)
+                total = inp.integer("FTLMOmegaTotal", default=1201)
+                delta = inp.real("FTLMDelta", default=0.1)
+                omegas = begin + step * np.arange(total)
+                dos = engine.ftlm_local_dos(
+                    op_name, site0, args.ftlm_beta, omegas,
+                    delta=delta, spin=spins[0],
+                    num_vectors=inp.integer("FTLMVectors", default=16),
+                    steps=inp.integer("FTLMSteps", default=100))
+                fout = f"{filename}{counter}.ftlmdos"
+                with open(fout, "w") as f:
+                    f.write(f"#FTLM site={site0} op={op_name} "
+                            f"beta={args.ftlm_beta} delta={delta}\n"
+                            "#omega N(omega)\n")
+                    for w, d in zip(omegas, dos):
+                        f.write(f"{w:.10g} {d:.10g}\n")
+                print(f"lanczos_main: Written to {fout}",
                       file=sys.stderr)
             counter += 1
 

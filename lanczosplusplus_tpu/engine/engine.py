@@ -334,6 +334,52 @@ class Engine:
                 num_moments=num_moments)
         return total
 
+    def ftlm_local_dos(self, op_name: str, isite: int, beta: float,
+                       omegas, delta: float = 0.1, spin: int = 0,
+                       orb: int = 0, num_vectors: int = 16,
+                       steps: int = 100, seed: int = 152917,
+                       start_vectors=None):
+        """N_i(omega, T): FINITE-TEMPERATURE local spectral function by
+        the FTLM double-Krylov estimator (engine/ftlm_dynamic.py) —
+        addition part plus mirrored removal part, Lorentzian-broadened.
+        The reference reaches finite-T dynamics only through full
+        spectra of every sector (thermal.cpp + grandCanonical.pl); this
+        scales to sectors where dense diagonalization is impossible.
+        Normalization: source-sector canonical ensemble."""
+        from lanczosplusplus_tpu.engine.ftlm_dynamic import ftlm_dynamic
+
+        op1 = LabeledOperator(op_name)
+        op2 = op1.transpose_conjugate()
+        omegas = np.asarray(omegas, dtype=np.float64)
+        total = np.zeros_like(omegas)
+        ham_src = self.hamiltonian
+        for type_ in range(2):
+            op = op1 if (type_ & 1) else op2
+            if op.needs_new_basis:
+                new_parts = self.model.has_new_parts(
+                    self.parts, op, spin, orb)
+                if new_parts is None:
+                    continue
+                basis_new = self._cached_basis(new_parts)
+                ham_new = self._cached_hamiltonian(new_parts)
+            else:
+                basis_new = self.basis
+                ham_new = ham_src
+
+            def apply(v, _op=op, _basis=basis_new):
+                z = np.zeros(_basis.size,
+                             dtype=np.result_type(v.dtype, np.float64))
+                self.acc_modified_state(z, _op, _basis, np.asarray(v),
+                                        self.basis, isite, spin, orb, 1.0)
+                return z
+
+            dyn = ftlm_dynamic(ham_src, ham_new, apply,
+                               num_vectors=num_vectors, steps=steps,
+                               seed=seed, start_vectors=start_vectors)
+            grid = omegas if type_ == 0 else -omegas
+            total = total + dyn.evaluate(beta, grid, delta)
+        return total
+
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
     def two_point(self, op_name: str, spin=(0, 0), orbs=(0, 0),
