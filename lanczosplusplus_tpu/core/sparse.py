@@ -409,6 +409,16 @@ class Hamiltonian:
         return m
 
 
+def apply_block_t(ham, xk):
+    """Apply any Hamiltonian-like object to a batch-major (k, dim)
+    block: uses the object's `matmat_t` when it has one, falling back
+    to vmapping its matvec (e.g. the flat factored-Heisenberg wrapper
+    only defines matvec)."""
+    if hasattr(ham, "matmat_t"):
+        return ham.matmat_t(xk)
+    return jax.vmap(ham.matvec)(xk)
+
+
 def ell_spgemm(a_cols, a_vals, b_cols, b_vals):
     """Device SpGEMM for bounded-row ELL operands: C = A @ B.
 

@@ -329,7 +329,10 @@ class Engine:
                 continue
             ham_new = self._cached_hamiltonian(new_parts)
             grid = omegas if type_ == 0 else -omegas
-            total = total + kpm_spectral(
+            # removal-branch sign matches the continued-fraction path
+            # (_calc_spectral): commutator form for non-fermionic ops
+            sgn = -1.0 if (type_ == 1 and not op1.is_fermionic) else 1.0
+            total = total + sgn * kpm_spectral(
                 ham_new, modif, grid, self.ground_energy,
                 num_moments=num_moments)
         return total
@@ -345,14 +348,28 @@ class Engine:
         The reference reaches finite-T dynamics only through full
         spectra of every sector (thermal.cpp + grandCanonical.pl); this
         scales to sectors where dense diagonalization is impossible.
-        Normalization: source-sector canonical ensemble."""
-        from lanczosplusplus_tpu.engine.ftlm_dynamic import ftlm_dynamic
+        Normalization: source-sector canonical ensemble.  The mirrored
+        removal branch carries the SAME sign convention as the
+        continued-fraction path (_calc_spectral): negative for
+        non-fermionic operators (commutator form), positive for
+        fermionic ones."""
+        from lanczosplusplus_tpu.engine.ftlm_dynamic import (
+            ftlm_dynamic, ftlm_source_runs)
+        from lanczosplusplus_tpu.solver.lanczos import random_start_block
 
         op1 = LabeledOperator(op_name)
         op2 = op1.transpose_conjugate()
         omegas = np.asarray(omegas, dtype=np.float64)
         total = np.zeros_like(omegas)
         ham_src = self.hamiltonian
+        # the source-sector Lanczos fleet is identical for both
+        # operator types: run it once and share
+        if start_vectors is None:
+            start_vectors = np.asarray(random_start_block(
+                ham_src.dim, num_vectors, seed, ham_src.dtype))
+        src_steps = int(min(steps, ham_src.dim))
+        shared_runs = ftlm_source_runs(ham_src, np.asarray(start_vectors),
+                                       src_steps)
         for type_ in range(2):
             op = op1 if (type_ & 1) else op2
             if op.needs_new_basis:
@@ -375,9 +392,11 @@ class Engine:
 
             dyn = ftlm_dynamic(ham_src, ham_new, apply,
                                num_vectors=num_vectors, steps=steps,
-                               seed=seed, start_vectors=start_vectors)
+                               seed=seed, start_vectors=start_vectors,
+                               source_runs=shared_runs)
             grid = omegas if type_ == 0 else -omegas
-            total = total + dyn.evaluate(beta, grid, delta)
+            sgn = -1.0 if (type_ == 1 and not op1.is_fermionic) else 1.0
+            total = total + sgn * dyn.evaluate(beta, grid, delta)
         return total
 
     # -- static correlators (reference: Engine.h:266-338) -----------------

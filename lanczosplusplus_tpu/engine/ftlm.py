@@ -51,9 +51,11 @@ def _ftlm_recurrence(ham, V0, Yops, steps):
     rdt = jnp.float64 if V0.dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
 
+    from lanczosplusplus_tpu.core.sparse import apply_block_t
+
     def body(carry, _):
         V, V_prev, beta_prev = carry
-        W = ham.matmat_t(V)
+        W = apply_block_t(ham, V)
         alpha = jnp.real(jnp.sum(jnp.conj(V) * W, axis=1)).astype(rdt)
         W = W - alpha[:, None].astype(W.dtype) * V \
             - beta_prev[:, None].astype(W.dtype) * V_prev
@@ -108,17 +110,8 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
         # used by the correctness tests)
         V0 = jnp.asarray(start_vectors, dtype=dtype)
     else:
-        key = jax.random.PRNGKey(seed)
-        if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-            rdt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
-                else jnp.float32
-            k1, k2 = jax.random.split(key)
-            V0 = (jax.random.normal(k1, (dim, num_vectors), rdt) +
-                  1j * jax.random.normal(k2, (dim, num_vectors), rdt)
-                  ).astype(dtype)
-        else:
-            V0 = jax.random.normal(key, (dim, num_vectors), dtype)
-        V0 = V0 / jnp.linalg.norm(V0, axis=0, keepdims=True)
+        from lanczosplusplus_tpu.solver.lanczos import random_start_block
+        V0 = random_start_block(dim, num_vectors, seed, dtype)
     num_vectors = int(V0.shape[1])
 
     names = list(operators.keys())
@@ -127,6 +120,8 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
         op = operators[name]
         if hasattr(op, "matmat"):
             yops.append(jnp.asarray(op.matmat(V0)))
+        elif hasattr(op, "matmat_t"):
+            yops.append(jnp.asarray(op.matmat_t(V0.T)).T)
         else:
             diag = jnp.asarray(op, dtype=dtype)
             if diag.ndim != 1 or diag.shape[0] != dim:

@@ -75,16 +75,31 @@ class FTLMDynamic:
                 ).sum(axis=1)
 
 
+def ftlm_source_runs(ham_src, V0, steps: int):
+    """Per-column stored-V tridiagonalizations of the source sector —
+    the dominant cost of ftlm_dynamic, factored out so callers
+    assembling several operator types (e.g. addition + removal) pay it
+    once."""
+    runs = []
+    for r in range(V0.shape[1]):
+        res1 = lz.tridiagonalize(ham_src, jnp.asarray(V0[:, r]), steps)
+        evals1, evecs1 = lz.tridiag_eigh(res1.alphas, res1.betas)
+        runs.append((res1, evals1, evecs1))
+    return runs
+
+
 def ftlm_dynamic(ham_src, ham_dst, apply_b, num_vectors: int = 16,
                  steps: int = 100, seed: int = 152917,
-                 apply_a=None, start_vectors=None) -> FTLMDynamic:
+                 apply_a=None, start_vectors=None,
+                 source_runs=None) -> FTLMDynamic:
     """Build the FTLM double-Krylov pole data for S_AB(omega, beta).
 
     apply_b: maps a (dim_src,) numpy vector to B|v> in the destination
     sector (dim_dst,).  apply_a defaults to apply_b (the diagonal
     A = B spectral function).  start_vectors overrides the random
     block (columns; a complete orthonormal set + steps=dim makes the
-    estimator exact)."""
+    estimator exact).  source_runs: precomputed ftlm_source_runs for
+    the SAME start block, shared across operator types."""
     apply_a = apply_a or apply_b
     dim = ham_src.dim
     steps = int(min(steps, dim))
@@ -92,25 +107,17 @@ def ftlm_dynamic(ham_src, ham_dst, apply_b, num_vectors: int = 16,
     if start_vectors is not None:
         V0 = np.asarray(start_vectors)
     else:
-        V0 = np.asarray(lz.random_start_vector(dim, seed, dtype))[:, None] \
-            if num_vectors == 1 else None
-        if V0 is None:
-            import jax
-            key = jax.random.PRNGKey(seed)
-            V0 = np.asarray(jax.random.normal(
-                key, (dim, num_vectors),
-                jnp.float64 if np.dtype(dtype) == np.float64
-                else jnp.float32)).astype(dtype)
-            V0 = V0 / np.linalg.norm(V0, axis=0, keepdims=True)
+        V0 = np.asarray(lz.random_start_block(dim, num_vectors, seed,
+                                              dtype))
     num_vectors = V0.shape[1]
     steps_dst = int(min(steps, ham_dst.dim))
+    if source_runs is None:
+        source_runs = ftlm_source_runs(ham_src, V0, steps)
 
     runs = []
     e0 = np.inf
     for r in range(num_vectors):
-        vr = jnp.asarray(V0[:, r])
-        res1 = lz.tridiagonalize(ham_src, vr, steps)
-        evals1, evecs1 = lz.tridiag_eigh(res1.alphas, res1.betas)
+        res1, evals1, evecs1 = source_runs[r]
         e0 = min(e0, float(evals1[0]))
         y = apply_b(V0[:, r])
         ynorm = float(np.linalg.norm(y))

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 
 
-def spectral_bounds(ham, steps: int = 48, seed: int = 271828,
-                    margin: float = 0.01):
+def spectral_bounds(ham, steps: int = 64, seed: int = 271828,
+                    margin: float = 0.05):
     """(emin, emax) safely enclosing spec(H): extremal Ritz values of a
     short plain Lanczos run, padded by `margin` of the spread."""
     from lanczosplusplus_tpu.solver.lanczos import (
@@ -63,11 +63,13 @@ def _moment_recurrence(ham, phi0, a, b, num_pairs):
     via the product-rule doubling (one matvec per moment PAIR).  The
     row layout keeps the batched SpMM (`Hamiltonian.matmat_t`) on
     clean MXU GEMMs."""
+    from lanczosplusplus_tpu.core.sparse import apply_block_t
+
     ainv = jnp.asarray(1.0, phi0.dtype) / a.astype(phi0.dtype)
     bshift = b.astype(phi0.dtype)
 
     def ht(x):
-        return (ham.matmat_t(x) - bshift * x) * ainv
+        return (apply_block_t(ham, x) - bshift * x) * ainv
 
     t0 = phi0                      # T_0 |phi>
     t1 = ht(phi0)                  # T_1 |phi>
@@ -135,6 +137,15 @@ def chebyshev_moments(ham, phi, num_moments: int,
     mu = np.empty(2 * num_pairs)
     mu[0::2] = mu_even
     mu[1::2] = mu_odd
+    # |T_k| <= 1 on [-1, 1], so |mu_k| <= mu_0 whenever the bounds
+    # enclose the spectrum; outside, T_k grows like cosh(k acosh|x|)
+    # and the density is silently garbage — fail loudly instead.
+    if not np.isfinite(mu).all() or \
+            np.abs(mu).max() > 2.0 * abs(mu[0]) + 1e-9:
+        raise ValueError(
+            "Chebyshev moments exceed the |T_k|<=1 bound: the spectral "
+            "bounds do not enclose spec(H) — widen `bounds` or raise "
+            "the spectral_bounds margin/steps")
     return KPMResult(moments=mu[:num_moments], a=a, b=b,
                      num_moments=num_moments)
 
@@ -143,21 +154,11 @@ def kpm_dos(ham, num_moments: int = 256, num_vectors: int = 16,
             seed: int = 314159, bounds=None) -> KPMResult:
     """Total density of states Tr[delta(E - H)] by stochastic trace:
     moments averaged over R random vectors, scaled by dim."""
-    dim = ham.dim
-    dtype = ham.dtype
-    key = jax.random.PRNGKey(seed)
-    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-        rdt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
-            else jnp.float32
-        k1, k2 = jax.random.split(key)
-        V0 = (jax.random.normal(k1, (dim, num_vectors), rdt) +
-              1j * jax.random.normal(k2, (dim, num_vectors), rdt)
-              ).astype(dtype)
-    else:
-        V0 = jax.random.normal(key, (dim, num_vectors), dtype)
-    V0 = V0 / jnp.linalg.norm(V0, axis=0, keepdims=True)
+    from lanczosplusplus_tpu.solver.lanczos import random_start_block
+
+    V0 = random_start_block(ham.dim, num_vectors, seed, ham.dtype)
     res = chebyshev_moments(ham, V0, num_moments, bounds=bounds)
-    res.moments *= dim / num_vectors
+    res.moments *= ham.dim / num_vectors
     return res
 
 

@@ -35,7 +35,7 @@ from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 
 
-def _half_offdiag(m: int, pairs_pm, pairs_pp, jpm, jzz_unused, jpp,
+def _half_offdiag(m: int, pairs_pm, pairs_pp, jpm, jpp,
                   site_of, dtype):
     """Dense off-diagonal exchange matrix over the 2^m words of one
     half.  pairs_pm are ordered (i, j) global site pairs (S+_i S-_j
@@ -168,12 +168,12 @@ def build_factored_kitaev(model, basis, dtype=np.float64,
         n_l,
         [(i, j) for (i, j) in pm_pairs if in_left(i) and in_left(j)],
         [(i, j) for (i, j) in pp_pairs if in_left(i) and in_left(j)],
-        jpm, None, jpp, lambda s: s - n_r, dtype)
+        jpm, jpp, lambda s: s - n_r, dtype)
     hr = _half_offdiag(
         n_r,
         [(i, j) for (i, j) in pm_pairs if not in_left(i) and not in_left(j)],
         [(i, j) for (i, j) in pp_pairs if not in_left(i) and not in_left(j)],
-        jpm, None, jpp, lambda s: s, dtype)
+        jpm, jpp, lambda s: s, dtype)
 
     p_list, q_list = [], []
 

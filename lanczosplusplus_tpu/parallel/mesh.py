@@ -116,17 +116,9 @@ def _padded_random_block(dim, dimp, num_vectors, dtype, seed, mesh):
     dim, zero in the padded rows (padded rows are decoupled eigenvalue-0
     states; nonzero start amplitude there would contaminate trace
     estimators), placed row-sharded."""
-    key = jax.random.PRNGKey(seed)
-    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-        rdt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
-            else jnp.float32
-        k1, k2 = jax.random.split(key)
-        v = (jax.random.normal(k1, (dim, num_vectors), rdt) +
-             1j * jax.random.normal(k2, (dim, num_vectors), rdt)
-             ).astype(dtype)
-    else:
-        v = jax.random.normal(key, (dim, num_vectors), dtype)
-    v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+    from lanczosplusplus_tpu.solver.lanczos import random_start_block
+
+    v = random_start_block(dim, num_vectors, seed, dtype)
     v = jnp.pad(v, ((0, dimp - dim), (0, 0)))
     return jax.device_put(v, NamedSharding(mesh, P(ROWS, None)))
 

@@ -407,19 +407,28 @@ def ritz_vectors(res: LanczosResult, weights: np.ndarray) -> jax.Array:
     return (res.V.T @ w).T  # (k, dim)
 
 
-def random_start_vector(dim: int, seed: int, dtype) -> jax.Array:
-    """Deterministic random start (reference: Engine.h:620-621 uses
-    PsimagLite::Random48 fillRandom)."""
+def random_start_block(dim: int, num: int, seed: int, dtype) -> jax.Array:
+    """Deterministic random (dim, num) block with unit-norm columns —
+    the shared start-vector generator for Lanczos, FTLM and KPM
+    (complex dtypes get float64/float32 components matching their
+    precision)."""
     key = jax.random.PRNGKey(seed)
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         real_dt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
             else jnp.float32
         k1, k2 = jax.random.split(key)
-        v = (jax.random.normal(k1, (dim,), real_dt) +
-             1j * jax.random.normal(k2, (dim,), real_dt)).astype(dtype)
+        v = (jax.random.normal(k1, (dim, num), real_dt) +
+             1j * jax.random.normal(k2, (dim, num), real_dt)
+             ).astype(dtype)
     else:
-        v = jax.random.normal(key, (dim,), dtype)
-    return v / jnp.linalg.norm(v)
+        v = jax.random.normal(key, (dim, num), dtype)
+    return v / jnp.linalg.norm(v, axis=0, keepdims=True)
+
+
+def random_start_vector(dim: int, seed: int, dtype) -> jax.Array:
+    """Deterministic random start (reference: Engine.h:620-621 uses
+    PsimagLite::Random48 fillRandom)."""
+    return random_start_block(dim, 1, seed, dtype)[:, 0]
 
 
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,

@@ -153,3 +153,50 @@ def test_cli_kpm_output(tmp_path, monkeypatch):
     data = np.loadtxt(tmp_path / "kpm.inp0.kpmdos")
     assert np.trapezoid(data[:, 1], data[:, 0]) == pytest.approx(
         1.0, abs=0.02)
+
+
+HEIS = """
+TotalNumberOfSites=8
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst=4
+SolverOptions={solver}
+IsPeriodicX=1
+"""
+
+
+@pytest.mark.parametrize("solver", ["none", "factored"])
+def test_engine_kpm_sz_matches_cf_sign_convention(solver):
+    """Non-fermionic (sz) removal branch must carry the SAME sign as
+    the continued-fraction path; also regression for the factored-mode
+    crash (FlatFactoredHamiltonian has no matmat_t — apply_block_t
+    vmaps its matvec)."""
+    from lanczosplusplus_tpu.engine import Engine
+
+    inp = parse_input(HEIS.format(solver=solver))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    coll, _ = eng.spectral_function("sz", 0, 0, spin=0)
+    all_w, all_wt = [], []
+    for cf in coll.items:
+        w, ww = cf.poles_and_weights()
+        all_w.append(w)
+        all_wt.append(ww)
+    all_w = np.concatenate(all_w)
+    all_wt = np.concatenate(all_wt)
+    omegas = np.linspace(all_w.min() - 2, all_w.max() + 2, 20001)
+    dos = eng.kpm_local_dos("sz", 0, omegas, num_moments=512)
+    for k in range(3):
+        exact = (all_wt * all_w ** k).sum()
+        got = np.trapezoid(dos * omegas ** k, omegas)
+        assert got == pytest.approx(exact, rel=2e-2, abs=2e-2)
