@@ -399,6 +399,64 @@ class Engine:
             total = total + sgn * dyn.evaluate(beta, grid, delta)
         return total
 
+    def ftlm_sq_omega(self, op_name: str, beta: float, omegas,
+                      delta: float = 0.1, spin: int = 0, orb: int = 0,
+                      num_vectors: int = 16, steps: int = 100,
+                      seed: int = 152917, start_vectors=None):
+        """S(q, omega) at FINITE temperature for a sector-preserving
+        operator (sz, n): S_q(w) = (1/Z) sum_nm e^{-b E_n}
+        |<m|B_q|n>|^2 delta(w - E_m + E_n) with
+        B_q = sum_j e^{iq r_j} op_j, estimated by the FTLM
+        double-Krylov method.  The complex momentum operator splits
+        into REAL cos/sin combinations (S_q = S_cos + S_sin since the
+        cross terms assemble cos(q(r_i - r_j))), so the Hamiltonian
+        stays real; ONE source-sector Lanczos fleet is shared across
+        every momentum.  The reference reaches S(q, w) only at T=0
+        (sqomega.pl over ground-state continued fractions) or through
+        full spectra.  Returns (qs, S[len(qs), len(omegas)])."""
+        from lanczosplusplus_tpu.engine.ftlm_dynamic import (
+            ftlm_dynamic, ftlm_source_runs)
+        from lanczosplusplus_tpu.solver.lanczos import random_start_block
+
+        op = LabeledOperator(op_name)
+        if op.needs_new_basis:
+            raise ValueError("ftlm_sq_omega: sector-preserving "
+                             "operators only (sz, n)")
+        nsite = self.geometry.number_of_sites()
+        ham = self.hamiltonian
+        omegas = np.asarray(omegas, dtype=np.float64)
+        if start_vectors is None:
+            start_vectors = np.asarray(random_start_block(
+                ham.dim, num_vectors, seed, ham.dtype))
+        V0 = np.asarray(start_vectors)
+        src_steps = int(min(steps, ham.dim))
+        shared = ftlm_source_runs(ham, V0, src_steps)
+        qs = 2.0 * np.pi * np.arange(nsite) / nsite
+        out = np.zeros((nsite, omegas.shape[0]))
+        for iq, q in enumerate(qs):
+            for phase in (np.cos, np.sin):
+                wsites = phase(q * np.arange(nsite))
+                if np.abs(wsites).max() < 1e-14:
+                    continue
+
+                def apply(v, _w=wsites):
+                    z = np.zeros(self.basis.size,
+                                 dtype=np.result_type(v.dtype,
+                                                      np.float64))
+                    for site in range(nsite):
+                        if abs(_w[site]) < 1e-14:
+                            continue
+                        self.acc_modified_state(
+                            z, op, self.basis, np.asarray(v),
+                            self.basis, site, spin, orb, _w[site])
+                    return z
+
+                dyn = ftlm_dynamic(ham, ham, apply, steps=steps,
+                                   start_vectors=V0,
+                                   source_runs=shared)
+                out[iq] += dyn.evaluate(beta, omegas, delta)
+        return qs, out
+
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
     def two_point(self, op_name: str, spin=(0, 0), orbs=(0, 0),

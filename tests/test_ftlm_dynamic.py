@@ -153,3 +153,56 @@ def test_cli_ftlm_dos_output(tmp_path, monkeypatch):
     data = np.loadtxt(tmp_path / "ft.inp0.ftlmdos")
     assert np.trapezoid(data[:, 1], data[:, 0]) == pytest.approx(
         1.0, abs=0.06)
+
+
+HEIS6 = """
+TotalNumberOfSites=6
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst=3
+SolverOptions=none
+IsPeriodicX=1
+"""
+
+
+def test_ftlm_sq_omega_exact():
+    """Complete start basis + full depth: finite-T S(q, omega) equals
+    the exact Lehmann double sum with B_q = sum_j e^{iq r_j} sz_j."""
+    from lanczosplusplus_tpu.engine import Engine
+    from lanczosplusplus_tpu.engine.thermal import operator_matrix
+
+    inp = parse_input(HEIS6)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    dim = eng.basis.size
+    beta, delta = 0.8, 0.2
+    grid = np.linspace(-6, 6, 241)
+    qs, got = eng.ftlm_sq_omega("sz", beta, grid, delta=delta,
+                                steps=dim, start_vectors=np.eye(dim))
+
+    es, vs = np.linalg.eigh(np.asarray(eng.hamiltonian.to_dense()))
+    w = np.exp(-beta * (es - es.min()))
+    z = w.sum()
+    n = 6
+    szs = [operator_matrix(model, "sz", j, 0, 0, eng.basis,
+                           eng.basis).T for j in range(n)]
+    for iq in (0, 1, 3):
+        q = qs[iq]
+        bq = sum(np.exp(1j * q * j) * szs[j] for j in range(n))
+        m = np.conj(vs.T) @ bq @ vs              # m[a, b] = <a|B_q|b>
+        om = es[:, None] - es[None, :]           # om[a, b] = E_a - E_b
+        wt = np.abs(m) ** 2 * w[None, :] / z     # Boltzmann on state b
+        expect = (wt.ravel()[None, :] * (delta / np.pi) /
+                  ((grid[:, None] - om.ravel()[None, :]) ** 2 +
+                   delta ** 2)).sum(1)
+        np.testing.assert_allclose(got[iq], expect, atol=1e-7)
