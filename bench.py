@@ -187,6 +187,21 @@ def main():
     lanczos_iter_s_sel = 32 / (time.perf_counter() - t0)
     n_reorth_sel = int(np.asarray(re).sum())
 
+    # throughput mode: bfloat16-stored dense factors (native-bf16 MXU
+    # GEMMs with f32 accumulation; ~4e-3 amplitude quantization)
+    ham16 = build_hamiltonian(nsite)[0].densify_factors(
+        factor_dtype=jnp.bfloat16)
+    y = matvec(ham16, x)
+    y.block_until_ready()
+    _ = float(y[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = matvec(ham16, x)
+    x.block_until_ready()
+    _ = float(x[0])
+    dt16 = (time.perf_counter() - t0) / iters
+    x = x / jnp.linalg.norm(x)
+
     # throughput-oriented config: bfloat16 Krylov basis (halved
     # reorthogonalization traffic, ~1e-3 accuracy)
     Vb = jnp.zeros((steps, dim), jnp.bfloat16)
@@ -231,6 +246,8 @@ def main():
             "dim": dim,
             "nnz": nnz,
             "ms_per_matvec": round(dt * 1e3, 3),
+            "ms_per_matvec_bf16_factors": round(dt16 * 1e3, 3),
+            "bf16_factor_gnnz_per_s": round(nnz / dt16 / 1e9, 1),
             "effective_GBps": round(gbps, 1),
             "lanczos_iters_per_s": round(lanczos_iter_s, 2),
             "lanczos_iters_per_s_selective": round(lanczos_iter_s_sel, 2),

@@ -45,36 +45,42 @@ def main():
     geom = Geometry(inp)
     model = build_model(inp, geom)
     basis = model.create_basis(None)
-    ham = build_factored_kitaev(model, basis, dtype=np.float32)
-    dim = ham.dim
-
-    mv = jax.jit(lambda h, x: h.matvec(x))
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (dim,), jnp.float32)
-    x = x / jnp.linalg.norm(x)
-    y = mv(ham, x)
-    jax.block_until_ready(y)
-    _ = float(y[0])
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = mv(ham, x)
-    jax.block_until_ready(x)
-    _ = float(x[0])
-    dt = (time.perf_counter() - t0) / iters
-    dl = ham.diag2d.shape[0]
-    dr = ham.diag2d.shape[1]
-    flops = 2 * dim * (dl + dr) + \
-        2 * dim * (dl + dr) * ham.p.shape[0] // 2
-    print(json.dumps({
-        "metric": "kitaev_factored_matvec_ms", "value": round(dt * 1e3, 2),
-        "unit": "ms", "detail": {
-            "platform": platform, "nsite": n, "dim": dim,
-            "cross_terms": int(ham.p.shape[0]),
-            "tflops_per_s": round(flops / dt / 1e12, 1)}}))
+    mv = jax.jit(lambda h, x: h.matvec(x))
+    ham32 = None
+    for fdt, tag in ((None, "f32"), (jnp.bfloat16, "bf16_factors")):
+        ham = build_factored_kitaev(model, basis, dtype=np.float32,
+                                    factor_dtype=fdt)
+        if fdt is None:
+            ham32 = ham
+        dim = ham.dim
+        x = jax.random.normal(key, (dim,), jnp.float32)
+        x = x / jnp.linalg.norm(x)
+        y = mv(ham, x)
+        jax.block_until_ready(y)
+        _ = float(y[0])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = mv(ham, x)
+        jax.block_until_ready(x)
+        _ = float(x[0])
+        dt = (time.perf_counter() - t0) / iters
+        dl = ham.diag2d.shape[0]
+        dr = ham.diag2d.shape[1]
+        flops = 2 * dim * (dl + dr) + \
+            2 * dim * (dl + dr) * ham.p.shape[0] // 2
+        print(json.dumps({
+            "metric": f"kitaev_factored_matvec_ms_{tag}",
+            "value": round(dt * 1e3, 2),
+            "unit": "ms", "detail": {
+                "platform": platform, "nsite": n, "dim": dim,
+                "cross_terms": int(ham.p.shape[0]),
+                "tflops_per_s": round(flops / dt / 1e12, 1)}}))
+    dim = ham32.dim
 
     t0 = time.perf_counter()
-    evals, _ = lowest_states_plain(ham, num_states=1, seed=7,
+    evals, _ = lowest_states_plain(ham32, num_states=1, seed=7,
                                    max_steps=120)
     dt = time.perf_counter() - t0
     print(json.dumps({

@@ -94,16 +94,23 @@ class FactoredKitaevHamiltonian:
         dl, dr = self.diag2d.shape
         xm = x.reshape(dl, dr)
         y = self.diag2d * xm
+        # factors may be stored in bfloat16 (FLOP-bound workload:
+        # native-bf16 MXU with f32 accumulation) — cast the state tile
+        # down, accumulate in the compute dtype
+        xc = xm if self.hl.dtype == x.dtype else xm.astype(self.hl.dtype)
         y = y + jax.lax.dot_general(
-            self.hl, xm, dimension_numbers=(((1,), (0,)), ((), ())),
+            self.hl, xc, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=x.dtype)
         y = y + jax.lax.dot_general(
-            xm, self.hr_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            xc, self.hr_t, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=x.dtype)
         if self.p.shape[0]:
             # sum_k P_k X Q_k^T
-            px = jnp.einsum("kab,bd->kad", self.p, xm)
-            y = y + jnp.einsum("kad,kcd->ac", px, self.q)
+            px = jnp.einsum("kab,bd->kad", self.p, xc,
+                            preferred_element_type=x.dtype)
+            y = y + jnp.einsum("kad,kcd->ac",
+                               px.astype(self.q.dtype), self.q,
+                               preferred_element_type=x.dtype)
         return y.reshape(-1)
 
     def matmat(self, x):
@@ -147,12 +154,20 @@ class FactoredKitaevHamiltonian:
 
 
 def build_factored_kitaev(model, basis, dtype=np.float64,
-                          n_left=None) -> FactoredKitaevHamiltonian:
+                          n_left=None,
+                          factor_dtype=None) -> FactoredKitaevHamiltonian:
     """Split the KitaevModel Hamiltonian over a site cut.
 
     Right half = sites [0, nR) (low word bits), left = [nR, n).  The
     flat basis order (words ascending) IS the row-major order of the
-    (2^nL, 2^nR) reshape, so no permutation wrapper is needed."""
+    (2^nL, 2^nR) reshape, so no permutation wrapper is needed.
+
+    factor_dtype (e.g. jnp.bfloat16) stores the half/cross factor
+    matrices below the compute precision (native-bf16 MXU GEMMs with
+    f32 accumulation, ~4e-3 coupling quantization).  Measured gain at
+    n=24 on v5e: 14.06 -> 12.41 ms/matvec — the f32 path already runs
+    near the chip's f32 MXU peak (58.7 TF/s), so the headroom is
+    modest."""
     n = basis.nsite
     n_l = n_left if n_left is not None else n // 2
     n_r = n - n_l
@@ -199,7 +214,8 @@ def build_factored_kitaev(model, basis, dtype=np.float64,
     p = np.stack(p_list) if p_list else np.zeros((0, dl, dl), dtype)
     q = np.stack(q_list) if q_list else np.zeros((0, dr, dr), dtype)
     diag = model.diagonal(basis).astype(dtype).reshape(dl, dr)
+    fdt = factor_dtype or dtype
     return FactoredKitaevHamiltonian(
-        diag2d=jnp.asarray(diag), hl=jnp.asarray(hl),
-        hr_t=jnp.asarray(hr.T.copy()),
-        p=jnp.asarray(p), q=jnp.asarray(q))
+        diag2d=jnp.asarray(diag), hl=jnp.asarray(hl, dtype=fdt),
+        hr_t=jnp.asarray(hr.T.copy(), dtype=fdt),
+        p=jnp.asarray(p, dtype=fdt), q=jnp.asarray(q, dtype=fdt))

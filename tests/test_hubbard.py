@@ -339,3 +339,54 @@ IsPeriodicX=0
     eps = np.linalg.eigvalsh(t)
     expect = eps[:2].sum() + eps[:1].sum()
     assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
+
+
+def test_bf16_factor_matvec_accuracy():
+    """bfloat16-stored dense factors: matvec agrees with f32 to the
+    bf16 quantization level and Ritz values track to ~1e-3."""
+    import jax.numpy as jnp
+    from lanczosplusplus_tpu.solver.lanczos import lowest_states
+
+    model, inp = hubbard_model(8, 4, 4) if "hubbard_model" in dir() \
+        else (None, None)
+    if model is None:
+        from lanczosplusplus_tpu.io_.input_parser import parse_input
+        from lanczosplusplus_tpu.geometry import Geometry
+        from lanczosplusplus_tpu.models import build_model as _bm
+        text = """
+TotalNumberOfSites=8
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 8 4 4 4 4 4 4 4 4
+potentialV 16 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=4
+TargetElectronsDown=4
+IsPeriodicX=1
+"""
+        inp = parse_input(text)
+        model = _bm(inp, Geometry(inp))
+    basis = model.create_basis((4, 4))
+    ham32 = model.hamiltonian(basis, dtype=np.float32).densify_factors()
+    ham16 = model.hamiltonian(basis, dtype=np.float32).densify_factors(
+        factor_dtype=jnp.bfloat16)
+    assert ham16.factorized.up_dense.dtype == jnp.bfloat16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(ham32.dim).astype(np.float32))
+    y32 = np.asarray(ham32.matvec(x))
+    y16 = np.asarray(ham16.matvec(x))
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() < 2e-2 * scale
+    # batched paths agree with single-vector bf16 path
+    xb = jnp.stack([x, 2 * x], axis=1)
+    np.testing.assert_allclose(np.asarray(ham16.matmat(xb))[:, 0], y16,
+                               rtol=1e-6, atol=1e-6 * scale)
+    np.testing.assert_allclose(np.asarray(ham16.matmat_t(xb.T))[0], y16,
+                               rtol=1e-6, atol=1e-6 * scale)
+    e32, _ = lowest_states(ham32, max_steps=80)
+    e16, _ = lowest_states(ham16, max_steps=80)
+    assert abs(e16[0] - e32[0]) < 2e-3 * max(abs(e32[0]), 1.0)

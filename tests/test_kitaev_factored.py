@@ -84,3 +84,18 @@ def test_engine_factored_kitaev_ground_state():
     e_fact = Engine(model_f, inp_f)
     assert e_fact.energies(0) == pytest.approx(e_default.energies(0),
                                                abs=1e-8)
+
+
+def test_bf16_factor_matvec_accuracy():
+    import jax.numpy as jnp
+
+    inp, model, basis = setup(n=8)
+    f32 = build_factored_kitaev(model, basis, dtype=np.float32)
+    b16 = build_factored_kitaev(model, basis, dtype=np.float32,
+                                factor_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(f32.dim).astype(np.float32))
+    y32 = np.asarray(f32.matvec(x))
+    y16 = np.asarray(b16.matvec(x))
+    assert y16.dtype == np.float32        # accumulation stays f32
+    assert np.abs(y16 - y32).max() < 2e-2 * np.abs(y32).max()
