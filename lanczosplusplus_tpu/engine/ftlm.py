@@ -183,6 +183,73 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
                       steps=steps)
 
 
+def ltlm(ham, beta_grid, operators: Dict[str, object],
+         num_vectors: int = 16, steps: int = 80,
+         seed: int = 982451653, start_vectors=None):
+    """Low-temperature Lanczos method (Aichhorn, Daghofer, Evertz &
+    von der Linden, PRB 67, 161103(R) (2003)): the SYMMETRIC estimator
+
+        <A>(b) ~= sum_r sum_{j,l} e^{-b(eps_j+eps_l)/2}
+                  <r|psi_j><psi_j|A|psi_l><psi_l|r>  /  Z
+
+    Unlike the plain FTLM observable estimator (whose numerator and
+    denominator decorrelate as T -> 0, leaving O(1/sqrt(R)) noise at
+    low temperature), the symmetric form converges to <gs|A|gs>
+    exactly as beta -> inf for every start vector.  Costs a stored-V
+    Lanczos run per vector plus one (M, dim)x(dim, M) GEMM per
+    operator (MXU).  Operators: (dim,) diagonal arrays or objects with
+    matmat/matmat_t, sector-preserving.  Returns
+    {name: (T,) array}, plus '_log_z' for the partition estimate."""
+    from lanczosplusplus_tpu.solver.lanczos import (
+        random_start_block, tridiagonalize, tridiag_eigh)
+
+    dim = ham.dim
+    dtype = ham.dtype
+    steps = int(min(steps, dim))
+    beta_grid = np.asarray(beta_grid, dtype=np.float64)
+    if start_vectors is not None:
+        V0 = jnp.asarray(start_vectors, dtype=dtype)
+    else:
+        V0 = random_start_block(dim, num_vectors, seed, dtype)
+    num_vectors = int(V0.shape[1])
+    names = list(operators.keys())
+
+    per_run = []
+    e0 = np.inf
+    for r in range(num_vectors):
+        res = tridiagonalize(ham, V0[:, r], steps)
+        evals, evecs = tridiag_eigh(res.alphas, res.betas)
+        e0 = min(e0, float(evals[0]))
+        Vm = res.V[:res.m]                      # (m, dim)
+        ritz = {}
+        for name in names:
+            op = operators[name]
+            if hasattr(op, "matmat"):
+                Y = jnp.asarray(op.matmat(Vm.T))           # (dim, m)
+            elif hasattr(op, "matmat_t"):
+                Y = jnp.asarray(op.matmat_t(Vm)).T
+            else:
+                diag = jnp.asarray(op, dtype=dtype)
+                Y = (diag[:, None] * Vm.T)
+            G = np.asarray(jnp.conj(Vm) @ Y)               # (m, m)
+            ritz[name] = evecs.T @ G @ evecs
+        per_run.append((evals, evecs[0].copy(), ritz))
+    T = beta_grid.shape[0]
+    out = {name: np.zeros(T) for name in names}
+    zs = np.zeros(T)
+    for evals, u0, ritz in per_run:
+        for t, b in enumerate(beta_grid):
+            half = np.exp(-0.5 * b * (evals - e0)) * u0
+            zs[t] += float((np.exp(-b * (evals - e0)) * u0 * u0).sum())
+            for name in names:
+                out[name][t] += float(half @ np.real(ritz[name]) @ half)
+    for name in names:
+        out[name] = out[name] / zs
+    out["_log_z"] = (np.log(zs) + np.log(dim / num_vectors)
+                     - beta_grid * e0)
+    return out
+
+
 def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
                   seed: int = 982451653):
     """<E>(T or beta) on the reference's TemperatureOrBeta* schedule

@@ -165,3 +165,46 @@ def test_ed_cli_ftlm(tmp_path, capsys):
                for l in out.splitlines() if not l.startswith("#"))
     for tb, e in exact.items():
         assert got[tb] == pytest.approx(e, abs=0.15)
+
+
+def test_ltlm_low_temperature_observable():
+    """The symmetric LTLM estimator stays accurate at low T where the
+    plain FTLM observable estimator is noisy, and converges to
+    <gs|A|gs> as beta -> inf."""
+    from lanczosplusplus_tpu.engine.ftlm import ltlm
+
+    inp, model, basis = hub_setup()
+    spec = full_spectrum(model, basis)
+    idx = np.arange(basis.size)
+    docc = popcount(basis.words_up(idx) &
+                    basis.words_down(idx)).astype(np.float64)
+    betas = np.asarray([0.2, 1.0, 3.0, 30.0])
+    _, exact_d = exact_thermal(spec, betas, diag_obs=docc)
+    ham = model.hamiltonian(basis, dtype=np.float64)
+    res = ltlm(ham, betas, {"docc": docc}, num_vectors=24, steps=80,
+               seed=7)
+    # moderate + low T within a few percent; beta=30 is gs-exact
+    np.testing.assert_allclose(res["docc"][:3], exact_d[:3],
+                               atol=0.04 * max(abs(exact_d).max(), 1.0))
+    gs_docc = (np.abs(spec.evecs[:, 0]) ** 2 * docc).sum()
+    assert res["docc"][3] == pytest.approx(gs_docc, abs=1e-5)
+
+
+def test_ltlm_complete_basis_exact():
+    from lanczosplusplus_tpu.engine.ftlm import ltlm
+
+    inp, model, basis = hub_setup(n=4, nup=2, ndown=2)
+    spec = full_spectrum(model, basis)
+    dim = basis.size
+    idx = np.arange(dim)
+    docc = popcount(basis.words_up(idx) &
+                    basis.words_down(idx)).astype(np.float64)
+    betas = np.asarray([0.3, 2.0])
+    _, exact_d = exact_thermal(spec, betas, diag_obs=docc)
+    ham = model.hamiltonian(basis, dtype=np.float64)
+    res = ltlm(ham, betas, {"docc": docc}, steps=dim,
+               start_vectors=np.eye(dim))
+    np.testing.assert_allclose(res["docc"], exact_d, atol=1e-7)
+    exact_lnz = np.asarray(
+        [np.log(np.exp(-b * spec.evals).sum()) for b in betas])
+    np.testing.assert_allclose(res["_log_z"], exact_lnz, atol=1e-7)
