@@ -84,6 +84,16 @@ class FTLMResult:
     num_vectors: int
     steps: int
 
+    @property
+    def free_energy(self) -> np.ndarray:
+        """F(T) = -ln Z / beta."""
+        return -self.log_z / self.betas
+
+    @property
+    def entropy(self) -> np.ndarray:
+        """S(T) = beta (<H> - F)  (k_B = 1)."""
+        return self.betas * self.energy + self.log_z
+
 
 def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
          operators: Optional[Dict[str, object]] = None,

@@ -208,3 +208,18 @@ def test_ltlm_complete_basis_exact():
     exact_lnz = np.asarray(
         [np.log(np.exp(-b * spec.evals).sum()) for b in betas])
     np.testing.assert_allclose(res["_log_z"], exact_lnz, atol=1e-7)
+
+
+def test_ftlm_free_energy_entropy():
+    inp, model, basis = hub_setup(n=4, nup=2, ndown=2)
+    spec = full_spectrum(model, basis)
+    betas = np.asarray([0.3, 1.0])
+    ham = model.hamiltonian(basis, dtype=np.float64)
+    res = ftlm(ham, betas, steps=basis.size,
+               start_vectors=np.eye(basis.size))
+    z = np.asarray([np.exp(-b * spec.evals).sum() for b in betas])
+    f_exact = -np.log(z) / betas
+    e_exact, _ = exact_thermal(spec, betas)
+    s_exact = betas * (e_exact - f_exact)
+    np.testing.assert_allclose(res.free_energy, f_exact, atol=1e-7)
+    np.testing.assert_allclose(res.entropy, s_exact, atol=1e-7)
