@@ -25,6 +25,11 @@ def run(argv=None):
     p.add_argument("--spin", type=int, default=0)
     p.add_argument("--dos", action="store_true",
                    help="N(i, omega) per site instead of S(q, omega)")
+    p.add_argument("--beta", type=float, default=None,
+                   help="FINITE-temperature S(q, omega) at this "
+                        "inverse temperature via the FTLM "
+                        "double-Krylov estimator (sector-preserving "
+                        "observables; labels FTLMVectors/FTLMSteps)")
     args = p.parse_args(argv)
 
     inp = read_input(args.input)
@@ -32,6 +37,17 @@ def run(argv=None):
     model = build_model(inp, geometry)
     engine = Engine(model, inp)
     omegas = np.arange(args.wbegin, args.wend + 1e-12, args.wstep)
+    if args.beta is not None:
+        qs, sqw = engine.ftlm_sq_omega(
+            args.observable, args.beta, omegas, delta=args.wdelta,
+            spin=args.spin,
+            num_vectors=inp.integer("FTLMVectors", default=16),
+            steps=inp.integer("FTLMSteps", default=100))
+        print(f"#beta={args.beta} method=FTLM")
+        for wi, w in enumerate(omegas):
+            print(w, " ".join(f"{sqw[m, wi]:.8g}"
+                              for m in range(len(qs))))
+        return qs, sqw
     if args.dos:
         dos = postproc.ni_omega(engine, omegas, args.wdelta,
                                 spin=args.spin)

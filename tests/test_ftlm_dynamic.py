@@ -206,3 +206,24 @@ def test_ftlm_sq_omega_exact():
                   ((grid[:, None] - om.ravel()[None, :]) ** 2 +
                    delta ** 2)).sum(1)
         np.testing.assert_allclose(got[iq], expect, atol=1e-7)
+
+
+def test_cli_sqomega_finite_t(capsys):
+    from lanczosplusplus_tpu.cli.sqomega_main import run
+    import tempfile, os
+    text = HEIS6 + "FTLMVectors=8\nFTLMSteps=20\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".inp",
+                                     delete=False) as f:
+        f.write(text)
+        path = f.name
+    try:
+        qs, sqw = run(["-f", path, "-g", "sz", "-b", "-4", "-e", "4",
+                       "-s", "0.5", "-d", "0.2", "--beta", "1.0"])
+    finally:
+        os.unlink(path)
+    out = capsys.readouterr().out
+    assert "method=FTLM" in out
+    assert sqw.shape[0] == len(qs)
+    # q=0 channel of an Sz-conserving ensemble vanishes... only the
+    # inelastic part: total Sz is conserved so S_{q=0}(w!=0) = 0
+    assert np.abs(sqw[0]).max() < 1e-8
