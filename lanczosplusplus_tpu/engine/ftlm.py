@@ -282,7 +282,13 @@ def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
     basis = model.create_basis(model.default_parts(inp))
     dtype = np.complex128 if "useComplex" in inp.solver_options() \
         else np.float64
-    ham = model.hamiltonian(basis, dtype=dtype)
+    if ("factored" in inp.solver_options() and
+            type(model).__name__ == "KitaevModel"):
+        from lanczosplusplus_tpu.models.kitaev_factored import \
+            build_factored_kitaev
+        ham = build_factored_kitaev(model, basis, dtype=dtype)
+    else:
+        ham = model.hamiltonian(basis, dtype=dtype)
     res = ftlm(ham, beta_grid, num_vectors=num_vectors, steps=steps,
                seed=seed)
     return [(tb, float(e)) for tb, e in zip(tbs, res.energy)], res
