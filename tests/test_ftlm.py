@@ -223,3 +223,35 @@ def test_ftlm_free_energy_entropy():
     s_exact = betas * (e_exact - f_exact)
     np.testing.assert_allclose(res.free_energy, f_exact, atol=1e-7)
     np.testing.assert_allclose(res.entropy, s_exact, atol=1e-7)
+
+
+def test_ed_cli_ftlm_factored_kitaev(tmp_path, capsys):
+    """SolverOptions=factored routes the FTLM schedule through the
+    block-factorized Kitaev Hamiltonian; values track the exact dense
+    schedule."""
+    from lanczosplusplus_tpu.cli.ed_main import run
+    from lanczosplusplus_tpu.engine.thermal import ExactDiag
+
+    per = "\n".join(
+        "DegreesOfFreedom=1\nGeometryKind=chain\n"
+        f"GeometryOptions=ConstantValues\nConnectors 1 {j}"
+        for j in (1.1, 0.7, 0.9))
+    text = (f"TotalNumberOfSites=8\nNumberOfTerms=3\n{per}\n"
+            "Model=Kitaev\nSolverOptions=factored\n"
+            "TemperatureOrBeta=beta\nTemperatureOrBetaStart=0.5\n"
+            "TemperatureOrBetaTotal=2\nTemperatureOrBetaStep=1.5\n"
+            "FTLMVectors=24\nFTLMSteps=40\n")
+    inp_file = tmp_path / "kft.inp"
+    inp_file.write_text(text)
+    run(["-f", str(inp_file), "--ftlm"])
+    out = capsys.readouterr().out
+    assert "method=FTLM" in out
+    inp = parse_input(text.replace("SolverOptions=factored",
+                                   "SolverOptions=none"))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    exact = dict(ExactDiag(model, inp).schedule())
+    got = dict((float(l.split()[0]), float(l.split()[1]))
+               for l in out.splitlines() if not l.startswith("#"))
+    for tb, e in exact.items():
+        assert got[tb] == pytest.approx(e, abs=0.12)
