@@ -188,7 +188,12 @@ def main():
     n_reorth_sel = int(np.asarray(re).sum())
 
     # throughput mode: bfloat16-stored dense factors (native-bf16 MXU
-    # GEMMs with f32 accumulation; ~4e-3 amplitude quantization)
+    # GEMMs with f32 accumulation; ~4e-3 amplitude quantization).
+    # Fresh unit start first: iterated H amplification overflows f32
+    # (||x|| is already inf after the timing loop, so renormalizing
+    # would produce NaN) and would poison this and later sections.
+    x = jax.random.normal(key, (dim,), jnp.float32)
+    x = x / jnp.linalg.norm(x)
     ham16 = build_hamiltonian(nsite)[0].densify_factors(
         factor_dtype=jnp.bfloat16)
     y = matvec(ham16, x)
@@ -200,6 +205,8 @@ def main():
     x.block_until_ready()
     _ = float(x[0])
     dt16 = (time.perf_counter() - t0) / iters
+    # fresh unit start for the Krylov-basis sections (same reason)
+    x = jax.random.normal(key, (dim,), jnp.float32)
     x = x / jnp.linalg.norm(x)
 
     # throughput-oriented config: bfloat16 Krylov basis (halved

@@ -86,6 +86,18 @@ class EllPart:
         return int(self.cols.shape[0] * self.cols.shape[1])
 
 
+
+def _downcast_state(x, factor_dtype):
+    """Cast a state tile down ONLY for the explicit bfloat16
+    throughput mode on real states.  Complex states and ordinary
+    precision mismatches must NOT be cast (an astype would silently
+    drop the imaginary part / mantissa); dot_general's type promotion
+    handles those correctly."""
+    if (factor_dtype == jnp.bfloat16 and
+            jnp.issubdtype(x.dtype, jnp.floating)):
+        return x.astype(jnp.bfloat16)
+    return x
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpinFactorizedPart:
@@ -119,8 +131,7 @@ class SpinFactorizedPart:
             # (bfloat16): cast the state tile down, accumulate in the
             # compute dtype — the MXU runs native bf16 with f32
             # accumulation, ~3x the f32 (3-pass) GEMM rate
-            xu = x2d if self.up_dense.dtype == x2d.dtype \
-                else x2d.astype(self.up_dense.dtype)
+            xu = _downcast_state(x2d, self.up_dense.dtype)
             # y[d, u] += sum_c A_u[u, c] x[d, c]
             y = y + jax.lax.dot_general(
                 xu, self.up_dense,
@@ -137,8 +148,7 @@ class SpinFactorizedPart:
                     xt[self.up_cols[:, k], :]
             y = y + acc.T
         if self.dn_dense is not None:
-            xd = x2d if self.dn_dense.dtype == x2d.dtype \
-                else x2d.astype(self.dn_dense.dtype)
+            xd = _downcast_state(x2d, self.dn_dense.dtype)
             y = y + jax.lax.dot_general(
                 self.dn_dense, xd,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -209,8 +219,7 @@ class Hamiltonian:
             # (szd, szu, k) batched view; dense factors stay on the MXU
             x3 = x.reshape(szd, szu, k)
             if f.up_dense is not None:
-                xu = x3 if f.up_dense.dtype == x.dtype \
-                    else x3.astype(f.up_dense.dtype)
+                xu = _downcast_state(x3, f.up_dense.dtype)
                 y3 = jax.lax.dot_general(
                     f.up_dense, xu,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -223,8 +232,7 @@ class Hamiltonian:
                         x3[:, f.up_cols[:, kk], :]
                 y = y + acc.reshape(-1, k)
             if f.dn_dense is not None:
-                xd = x3 if f.dn_dense.dtype == x.dtype \
-                    else x3.astype(f.dn_dense.dtype)
+                xd = _downcast_state(x3, f.dn_dense.dtype)
                 y3 = jax.lax.dot_general(
                     f.dn_dense, xd,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -258,8 +266,7 @@ class Hamiltonian:
             szd, szu = self.spin_shape
             x3 = xk.reshape(k, szd, szu)
             if f.up_dense is not None:
-                xu = x3 if f.up_dense.dtype == xk.dtype \
-                    else x3.astype(f.up_dense.dtype)
+                xu = _downcast_state(x3, f.up_dense.dtype)
                 t = jax.lax.dot_general(
                     xu.reshape(k * szd, szu), f.up_dense,
                     dimension_numbers=(((1,), (1,)), ((), ())),
@@ -272,8 +279,7 @@ class Hamiltonian:
                         x3[:, :, f.up_cols[:, kk]]
                 y = y + acc.reshape(k, -1)
             if f.dn_dense is not None:
-                xd = x3 if f.dn_dense.dtype == xk.dtype \
-                    else x3.astype(f.dn_dense.dtype)
+                xd = _downcast_state(x3, f.dn_dense.dtype)
                 t = jax.lax.dot_general(
                     xd, f.dn_dense,
                     dimension_numbers=(((1,), (1,)), ((), ())),

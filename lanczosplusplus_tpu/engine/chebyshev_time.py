@@ -66,7 +66,8 @@ def evolve(ham, psi0, times, bounds=None, extra_terms: int = 40):
     a = 0.5 * (emax - emin)
     b = 0.5 * (emax + emin)
     at = a * np.abs(times).max()
-    K = int(np.ceil(1.1 * at)) + int(extra_terms)
+    # the scan needs T_0 and T_1 unconditionally
+    K = max(int(np.ceil(1.1 * at)) + int(extra_terms), 2)
     k = np.arange(K)
     bessel = scipy.special.jv(k[:, None], a * times[None, :])  # (K, nt)
     phase = np.exp(-1j * b * times)[None, :]

@@ -110,18 +110,14 @@ class Engine:
         dynamic-run sectors from s+/s- use it too), plain half-cut
         Kronecker for Kitaev (full 2^n, flat order is already the
         product order)."""
-        if type(self.model).__name__ == "KitaevModel":
-            from lanczosplusplus_tpu.models.kitaev_factored import \
-                build_factored_kitaev
-            return build_factored_kitaev(
-                self.model, basis, dtype=self.config.scalar_dtype)
-        from lanczosplusplus_tpu.models.heisenberg_factored import \
-            FactoredHeisenbergChain
+        from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
 
-        nsite = self.model.geometry.number_of_sites()
-        fact = FactoredHeisenbergChain(
-            self.model, nsite, parts[1], dtype=self.config.scalar_dtype)
-        return fact.flat_ham(basis)
+        ham = factored_hamiltonian_or_none(
+            self.model, basis, parts, self.config.scalar_dtype)
+        if ham is None:
+            raise ValueError("SolverOptions=factored: no factorization "
+                             f"for {type(self.model).__name__}")
+        return ham
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:
@@ -422,8 +418,16 @@ class Engine:
         if op.needs_new_basis:
             raise ValueError("ftlm_sq_omega: sector-preserving "
                              "operators only (sz, n)")
-        nsite = self.geometry.number_of_sites()
         ham = self.hamiltonian
+        if jnp.issubdtype(jnp.dtype(ham.dtype), jnp.complexfloating):
+            # the cos/sin split S_q = S_cos + S_sin needs real matrix
+            # elements; with complex eigenvectors the cross term
+            # -2 Im(<m|C|n>* <m|S|n>) survives and the sum would
+            # silently yield (S_q + S_-q)/2
+            raise ValueError("ftlm_sq_omega: real Hamiltonians only "
+                             "(complex eigenvectors break the cos/sin "
+                             "momentum decomposition)")
+        nsite = self.geometry.number_of_sites()
         omegas = np.asarray(omegas, dtype=np.float64)
         if start_vectors is None:
             start_vectors = np.asarray(random_start_block(
@@ -431,6 +435,12 @@ class Engine:
         V0 = np.asarray(start_vectors)
         src_steps = int(min(steps, ham.dim))
         shared = ftlm_source_runs(ham, V0, src_steps)
+        # per-site operator index maps built ONCE (apply() runs for
+        # every Krylov row of every run of every momentum — rebuilding
+        # the maps there dominated the whole estimator)
+        site_maps = [self.model.operator_map(op, site, spin, orb,
+                                             self.basis, self.basis)
+                     for site in range(nsite)]
         qs = 2.0 * np.pi * np.arange(nsite) / nsite
         out = np.zeros((nsite, omegas.shape[0]))
         for iq, q in enumerate(qs):
@@ -443,12 +453,13 @@ class Engine:
                     z = np.zeros(self.basis.size,
                                  dtype=np.result_type(v.dtype,
                                                       np.float64))
+                    src = np.asarray(v)
                     for site in range(nsite):
                         if abs(_w[site]) < 1e-14:
                             continue
-                        self.acc_modified_state(
-                            z, op, self.basis, np.asarray(v),
-                            self.basis, site, spin, orb, _w[site])
+                        tgt, amp, dst_dim = site_maps[site]
+                        z += apply_operator_map(tgt, amp, dst_dim,
+                                                src, _w[site])
                     return z
 
                 dyn = ftlm_dynamic(ham, ham, apply, steps=steps,

@@ -282,12 +282,13 @@ def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
     basis = model.create_basis(model.default_parts(inp))
     dtype = np.complex128 if "useComplex" in inp.solver_options() \
         else np.float64
-    if ("factored" in inp.solver_options() and
-            type(model).__name__ == "KitaevModel"):
-        from lanczosplusplus_tpu.models.kitaev_factored import \
-            build_factored_kitaev
-        ham = build_factored_kitaev(model, basis, dtype=dtype)
-    else:
+    ham = None
+    if "factored" in inp.solver_options():
+        from lanczosplusplus_tpu.models import \
+            factored_hamiltonian_or_none
+        ham = factored_hamiltonian_or_none(
+            model, basis, model.default_parts(inp), dtype)
+    if ham is None:
         ham = model.hamiltonian(basis, dtype=dtype)
     res = ftlm(ham, beta_grid, num_vectors=num_vectors, steps=steps,
                seed=seed)

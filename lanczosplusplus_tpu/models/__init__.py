@@ -1,1 +1,21 @@
 from lanczosplusplus_tpu.models.registry import build_model  # noqa: F401
+
+
+def factored_hamiltonian_or_none(model, basis, parts, dtype):
+    """The half-cut block-factorized Hamiltonian for models that have
+    one (S=1/2 Heisenberg Sz sectors, Kitaev full space), or None.
+    Shared by Engine (SolverOptions=factored) and the FTLM schedule so
+    the model-dispatch logic lives in exactly one place."""
+    name = type(model).__name__
+    if name == "KitaevModel":
+        from lanczosplusplus_tpu.models.kitaev_factored import \
+            build_factored_kitaev
+        return build_factored_kitaev(model, basis, dtype=dtype)
+    if name == "HeisenbergModel" and getattr(model, "twice_s", None) == 1:
+        from lanczosplusplus_tpu.models.heisenberg_factored import \
+            FactoredHeisenbergChain
+        nsite = model.geometry.number_of_sites()
+        fact = FactoredHeisenbergChain(model, nsite, parts[1],
+                                       dtype=dtype)
+        return fact.flat_ham(basis)
+    return None

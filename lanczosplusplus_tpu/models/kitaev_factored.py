@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczosplusplus_tpu.core import bits
+from lanczosplusplus_tpu.core.sparse import _downcast_state
 from lanczosplusplus_tpu.core.bits import WORD
 
 
@@ -97,7 +98,7 @@ class FactoredKitaevHamiltonian:
         # factors may be stored in bfloat16 (FLOP-bound workload:
         # native-bf16 MXU with f32 accumulation) — cast the state tile
         # down, accumulate in the compute dtype
-        xc = xm if self.hl.dtype == x.dtype else xm.astype(self.hl.dtype)
+        xc = _downcast_state(xm, self.hl.dtype)
         y = y + jax.lax.dot_general(
             self.hl, xc, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=x.dtype)
@@ -109,7 +110,7 @@ class FactoredKitaevHamiltonian:
             px = jnp.einsum("kab,bd->kad", self.p, xc,
                             preferred_element_type=x.dtype)
             y = y + jnp.einsum("kad,kcd->ac",
-                               px.astype(self.q.dtype), self.q,
+                               _downcast_state(px, self.q.dtype), self.q,
                                preferred_element_type=x.dtype)
         return y.reshape(-1)
 
@@ -118,11 +119,17 @@ class FactoredKitaevHamiltonian:
         nb = x.shape[1]
         xm = x.reshape(dl, dr, nb)
         y = self.diag2d[:, :, None] * xm
-        y = y + jnp.einsum("ab,brB->arB", self.hl, xm)
-        y = y + jnp.einsum("adB,cd->acB", xm, self.hr_t.T)
+        xc = _downcast_state(xm, self.hl.dtype)
+        y = y + jnp.einsum("ab,brB->arB", self.hl, xc,
+                           preferred_element_type=x.dtype)
+        y = y + jnp.einsum("adB,cd->acB", xc, self.hr_t.T,
+                           preferred_element_type=x.dtype)
         if self.p.shape[0]:
-            px = jnp.einsum("kab,bdB->kadB", self.p, xm)
-            y = y + jnp.einsum("kadB,kcd->acB", px, self.q)
+            px = jnp.einsum("kab,bdB->kadB", self.p, xc,
+                            preferred_element_type=x.dtype)
+            y = y + jnp.einsum("kadB,kcd->acB",
+                               _downcast_state(px, self.q.dtype), self.q,
+                               preferred_element_type=x.dtype)
         return y.reshape(-1, nb)
 
     def matmat_t(self, xk):
@@ -131,18 +138,22 @@ class FactoredKitaevHamiltonian:
         k = xk.shape[0]
         xm = xk.reshape(k, dl, dr)
         y = self.diag2d[None] * xm
+        xc = _downcast_state(xm, self.hl.dtype)
         y = y + jax.lax.dot_general(          # right half: pure GEMM
-            xm.reshape(k * dl, dr), self.hr_t,
+            xc.reshape(k * dl, dr), self.hr_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=xk.dtype).reshape(k, dl, dr)
         t = jax.lax.dot_general(              # left half: one swap
-            xm, self.hl,
+            xc, self.hl,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=xk.dtype)  # (k, dr, dl)
         y = y + jnp.swapaxes(t, 1, 2)
         if self.p.shape[0]:
-            px = jnp.einsum("kab,Bbd->kBad", self.p, xm)
-            y = y + jnp.einsum("kBad,kcd->Bac", px, self.q)
+            px = jnp.einsum("kab,Bbd->kBad", self.p, xc,
+                            preferred_element_type=xk.dtype)
+            y = y + jnp.einsum("kBad,kcd->Bac",
+                               _downcast_state(px, self.q.dtype), self.q,
+                               preferred_element_type=xk.dtype)
         return y.reshape(k, -1)
 
     def to_dense(self):

@@ -347,13 +347,10 @@ def test_bf16_factor_matvec_accuracy():
     import jax.numpy as jnp
     from lanczosplusplus_tpu.solver.lanczos import lowest_states
 
-    model, inp = hubbard_model(8, 4, 4) if "hubbard_model" in dir() \
-        else (None, None)
-    if model is None:
-        from lanczosplusplus_tpu.io_.input_parser import parse_input
-        from lanczosplusplus_tpu.geometry import Geometry
-        from lanczosplusplus_tpu.models import build_model as _bm
-        text = """
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model as _bm
+    text = """
 TotalNumberOfSites=8
 NumberOfTerms=1
 DegreesOfFreedom=1
@@ -368,8 +365,8 @@ TargetElectronsUp=4
 TargetElectronsDown=4
 IsPeriodicX=1
 """
-        inp = parse_input(text)
-        model = _bm(inp, Geometry(inp))
+    inp = parse_input(text)
+    model = _bm(inp, Geometry(inp))
     basis = model.create_basis((4, 4))
     ham32 = model.hamiltonian(basis, dtype=np.float32).densify_factors()
     ham16 = model.hamiltonian(basis, dtype=np.float32).densify_factors(
@@ -390,3 +387,47 @@ IsPeriodicX=1
     e32, _ = lowest_states(ham32, max_steps=80)
     e16, _ = lowest_states(ham16, max_steps=80)
     assert abs(e16[0] - e32[0]) < 2e-3 * max(abs(e32[0]), 1.0)
+
+
+def test_densified_factor_complex_state():
+    """Real densified factors applied to a COMPLEX state must keep the
+    imaginary part (regression: an unconditional astype in the
+    mixed-precision path truncated complex -> real)."""
+    import jax.numpy as jnp
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model as _bm
+    text = """
+TotalNumberOfSites=6
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 6 4 4 4 4 4 4
+potentialV 12 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=3
+TargetElectronsDown=3
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    model = _bm(inp, Geometry(inp))
+    basis = model.create_basis((3, 3))
+    ham = model.hamiltonian(basis, dtype=np.float64).densify_factors()
+    rng = np.random.default_rng(4)
+    psi = rng.standard_normal(ham.dim) + 1j * rng.standard_normal(ham.dim)
+    dense = np.asarray(ham.to_dense())
+    exact = dense @ psi
+    got = np.asarray(ham.matvec(jnp.asarray(psi)))
+    np.testing.assert_allclose(got, exact, atol=1e-10)
+    got_b = np.asarray(ham.matmat(jnp.asarray(psi[:, None])))[:, 0]
+    np.testing.assert_allclose(got_b, exact, atol=1e-10)
+    got_t = np.asarray(ham.matmat_t(jnp.asarray(psi[None, :])))[0]
+    np.testing.assert_allclose(got_t, exact, atol=1e-10)
+    # time evolution through the densified Hamiltonian stays unitary
+    from lanczosplusplus_tpu.engine.chebyshev_time import evolve
+    psi0 = psi / np.linalg.norm(psi)
+    out = evolve(ham, jnp.asarray(psi0), [1.5])
+    assert np.linalg.norm(out[0]) == pytest.approx(1.0, abs=1e-9)
