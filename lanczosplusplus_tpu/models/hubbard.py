@@ -194,7 +194,11 @@ class HubbardModel:
 
         if name == ops.SZ:
             # getBraIndexSz: value +1 if up occupied, -1 if down occupied,
-            # skip if both or neither (reference BasisHubbardLanczos.h:216-229)
+            # skip if both or neither (reference BasisHubbardLanczos.h:216-229).
+            # NOTE this is the reference's gf-sz convention: amplitudes
+            # are n_up - n_dn WITHOUT the physical 1/2 (the reference's
+            # own twoPoint path instead uses 0.5 n_up - 0.5 n_dn,
+            # Engine.h:537-599 — we reproduce each path's convention)
             val = up_occ[None, :] - dn_occ[:, None]          # (szd, szu)
             both = (up_occ[None, :] == 1) & (dn_occ[:, None] == 1)
             val = np.where(both, 0, val)
