@@ -138,9 +138,22 @@ def run(argv=None):
 
     filename = os.path.basename(args.input)
     norb = max_orbitals(model, n)
+    # Multi-pair runs batch all (pair, type) Lanczos decompositions of
+    # one destination sector into a single SpMM recurrence dispatch
+    # (Engine.spectral_functions_batched); SolverOptions=serialgf
+    # restores the reference's one-run-per-pair schedule
+    # (LanczosDriver1.h:138-183).
+    batch_gf = len(pair_of_sites) > 1 and "serialgf" not in solver_opts
     for op_name in gf_ops:
+        batched = {}
+        if batch_gf and spins[0] == spins[1]:
+            for orb1 in range(norb):
+                for orb2 in range(orb1, norb):
+                    batched[(orb1, orb2)] = engine.spectral_functions_batched(
+                        op_name, pair_of_sites, spin=spins[0],
+                        orbs=(orb1, orb2))
         counter = 0
-        for (site0, site1) in pair_of_sites:
+        for pi, (site0, site1) in enumerate(pair_of_sites):
             print(f"#gf(i={site0}, j={site1})")
             from lanczosplusplus_tpu.engine.spectral import \
                 ContinuedFractionCollection
@@ -152,9 +165,12 @@ def run(argv=None):
                         raise SystemExit(
                             "spectralFunction: off-diagonal spin "
                             "unsupported")
-                    coll, lab = engine.spectral_function(
-                        op_name, site0, site1, spin=spins[0],
-                        orbs=(orb1, orb2))
+                    if (orb1, orb2) in batched:
+                        coll, lab = batched[(orb1, orb2)][pi]
+                    else:
+                        coll, lab = engine.spectral_function(
+                            op_name, site0, site1, spin=spins[0],
+                            orbs=(orb1, orb2))
                     all_cf.items += coll.items
                     labels += lab
             out = f"{filename}{counter}.comb"

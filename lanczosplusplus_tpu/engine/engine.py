@@ -252,6 +252,105 @@ class Engine:
             coll.push(cf)
         return coll, labels
 
+    def spectral_functions_batched(self, op_name: str, pairs,
+                                   spin: int = 0, orbs=(0, 0)):
+        """Continued fractions for MANY site pairs at once.
+
+        Same 4-type decomposition, weights and output as
+        `spectral_function`, but every (pair, type) job that lands in
+        the same destination sector runs inside ONE batched SpMM
+        recurrence (`tridiagonalize_plain_batched`) — the whole
+        TSPCenter / DoAllPairs / DOS fleet costs two batched Lanczos
+        dispatches (N+1 and N-1 sectors) instead of ~4x len(pairs)
+        serial runs (reference: LanczosDriver1.h:138-183 loops
+        engine.spectralFunction per pair).  The tridiagonals come from
+        the plain (no-reorthogonalization) recurrence, the reference's
+        own decomposition mode (Engine.h:472-478 LanczosSolver
+        decomposition).
+
+        Returns a list of (ContinuedFractionCollection, labels), one
+        per entry of `pairs`."""
+        import jax.numpy as jnp
+
+        op1 = LabeledOperator(op_name)
+        op2 = op1.transpose_conjugate()
+        gs = np.asarray(self.eigenvector(0))
+        steps = self.inp.integer("SpectralSteps",
+                                 default=self.config.lanczos_steps)
+        per_pair_items = [[] for _ in pairs]
+        pending = {}      # parts -> list of (pair_i, slot, weight, s, s2, meta, v0)
+        for pi, (isite, jsite) in enumerate(pairs):
+            is_diagonal = (isite == jsite and orbs[0] == orbs[1])
+            for type_ in range(op1.number_of_types):
+                if is_diagonal and type_ > 1:
+                    continue
+                op = op1 if (type_ & 1) else op2
+                if op.needs_new_basis:
+                    new_parts = self.model.has_new_parts(
+                        self.parts, op, spin, orbs[0])
+                    if new_parts is None:
+                        continue
+                    basis_new = self._cached_basis(new_parts)
+                else:
+                    new_parts = self.parts
+                    basis_new = self.basis
+                modif = np.zeros(basis_new.size, dtype=gs.dtype)
+                self.acc_modified_state(modif, op, basis_new, gs,
+                                        self.basis, isite, spin, orbs[0],
+                                        1.0)
+                if not is_diagonal:
+                    isign = -1.0 if type_ > 1 else 1.0
+                    self.acc_modified_state(modif, op, basis_new, gs,
+                                            self.basis, jsite, spin,
+                                            orbs[1], isign)
+                weight = float(np.real(np.vdot(modif, modif)))
+                s, s2 = self._spectral_signs(op.is_fermionic, type_,
+                                             is_diagonal)
+                meta = f"{spin},{type_},{orbs[0]},{orbs[1]}"
+                slot = len(per_pair_items[pi])
+                if weight < 1e-24:
+                    per_pair_items[pi].append(ContinuedFraction(
+                        alphas=np.zeros(0), betas=np.zeros(0),
+                        e0=self.ground_energy, weight=0.0, sigma=s,
+                        meta=meta))
+                    continue
+                per_pair_items[pi].append(None)
+                key = tuple(new_parts) if not isinstance(new_parts, tuple) \
+                    else new_parts
+                pending.setdefault(key, []).append(
+                    (pi, slot, weight, s, s2, meta,
+                     modif / np.sqrt(weight)))
+        for parts_key, jobs in pending.items():
+            ham_new = self._cached_hamiltonian(parts_key)
+            v0s = jnp.asarray(np.stack([j[6] for j in jobs]))
+            ress = lz.tridiagonalize_plain_batched(ham_new, v0s, steps)
+            for (pi, slot, weight, s, s2, meta, _), res in zip(jobs, ress):
+                per_pair_items[pi][slot] = ContinuedFraction(
+                    alphas=res.alphas, betas=res.betas,
+                    e0=self.ground_energy, weight=weight * s2, sigma=s,
+                    meta=meta)
+        out = []
+        for items in per_pair_items:
+            coll = ContinuedFractionCollection()
+            labels = []
+            for cf in items:
+                coll.push(cf)
+                labels.append(cf.meta)
+            out.append((coll, labels))
+        return out
+
+    @staticmethod
+    def _spectral_signs(is_fermionic, type_, is_diagonal):
+        """(s, s2) of the 4-type decomposition (Engine.h:139-158):
+        s is the pole direction (sigma), s2 the CF weight sign."""
+        s = -1 if (type_ & 1) else 1
+        s2 = -1.0 if type_ > 1 else 1.0
+        if not is_fermionic:
+            s2 *= s
+        if not is_diagonal:
+            s2 *= 0.5
+        return s, s2
+
     def _calc_spectral(self, ham_new, is_fermionic, modif, type_,
                        is_diagonal) -> ContinuedFraction:
         """Lanczos tridiagonalization of op|gs> (reference:
@@ -259,12 +358,7 @@ class Engine:
         import jax.numpy as jnp
 
         weight = float(np.real(np.vdot(modif, modif)))
-        s = -1 if (type_ & 1) else 1
-        s2 = -1.0 if type_ > 1 else 1.0
-        if not is_fermionic:
-            s2 *= s
-        if not is_diagonal:
-            s2 *= 0.5
+        s, s2 = self._spectral_signs(is_fermionic, type_, is_diagonal)
         # our sigma convention: +1 = particle addition (poles at
         # omega = E_n - E0); even types apply the transpose-conjugate
         # operator (c^dagger for gf "c"), odd types remove.  The

@@ -19,12 +19,10 @@ def site_resolved_gf(engine, op_name: str, center: int, spin=0,
     """G(center, i, omega) continued fractions for every site i
     (the sqomega.pl TSPCenter loop, sqomega.pl:15-33)."""
     n = engine.geometry.number_of_sites()
-    out = []
-    for i in range(n):
-        coll, _ = engine.spectral_function(op_name, center, i, spin=spin,
-                                           orbs=orbs)
-        out.append(coll)
-    return out
+    pairs = [(center, i) for i in range(n)]
+    return [coll for coll, _ in
+            engine.spectral_functions_batched(op_name, pairs, spin=spin,
+                                              orbs=orbs)]
 
 
 def sq_omega(engine, op_name: str, omegas, delta, spin=0, orbs=(0, 0),
@@ -57,10 +55,11 @@ def ni_omega(engine, omegas, delta, spin=0, orb=0):
     """N(i, omega) = -Im G_c(i, i, omega)/pi for every site
     (reference: niomega.pl:17-53)."""
     n = engine.geometry.number_of_sites()
+    pairs = [(i, i) for i in range(n)]
+    outs = engine.spectral_functions_batched("c", pairs, spin=spin,
+                                             orbs=(orb, orb))
     out = np.zeros((n, len(omegas)))
-    for i in range(n):
-        coll, _ = engine.spectral_function("c", i, i, spin=spin,
-                                           orbs=(orb, orb))
+    for i, (coll, _) in enumerate(outs):
         out[i] = -coll.evaluate(omegas, delta).imag / np.pi
     return out
 

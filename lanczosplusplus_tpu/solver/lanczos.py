@@ -356,6 +356,65 @@ def tridiagonalize_plain(ham, v0, steps: int):
     return LanczosResult(alphas=alphas[:m], betas=betas[:m], V=None, m=m)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _plain_batched_recurrence(ham, V0, steps):
+    """Batched memory-light Lanczos over the ROWS of V0 (R, dim): every
+    step is one batched SpMM (`apply_block_t`, dense Kronecker factors
+    on the MXU) plus per-row axpy/dots on the VPU — the same shape as
+    the FTLM recurrence.  Returns (alphas, betas) of shape (steps, R).
+    Rows whose recurrence breaks down carry zero vectors onward, so
+    their trailing (alpha, beta) are zero."""
+    from lanczosplusplus_tpu.core.sparse import apply_block_t
+
+    rdt = jnp.float64 if V0.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+
+    def body(carry, _):
+        V, V_prev, beta_prev = carry
+        W = apply_block_t(ham, V)
+        alpha = jnp.real(jnp.sum(jnp.conj(V) * W, axis=1)).astype(rdt)
+        W = W - alpha[:, None].astype(W.dtype) * V \
+            - beta_prev[:, None].astype(W.dtype) * V_prev
+        beta = jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=1)).astype(rdt)
+        safe = jnp.where(beta > 0, beta, 1.0).astype(W.dtype)
+        V_next = jnp.where((beta > 0)[:, None], W / safe[:, None],
+                           jnp.zeros_like(W))
+        return (V_next, V, beta), (alpha, beta)
+
+    init = (V0, jnp.zeros_like(V0), jnp.zeros((V0.shape[0],), rdt))
+    _, (alphas, betas) = jax.lax.scan(body, init, None, length=steps)
+    return alphas, betas
+
+
+def tridiagonalize_plain_batched(ham, v0s, steps: int):
+    """R tridiagonalizations sharing one sector Hamiltonian as ONE
+    batched SpMM recurrence — the TPU-native shape for continued-
+    fraction fleets (all site pairs / operator types of a spectral-
+    function run that land in the same sector run together instead of
+    one Lanczos dispatch per pair; reference: Engine.h:460-490 runs
+    each decomposition serially).
+
+    v0s: (R, dim) with unit-norm rows.  Returns a list of R
+    LanczosResult (V=None), each trimmed at its own breakdown."""
+    v0s = jnp.asarray(v0s)
+    steps = int(min(steps, v0s.shape[1]))
+    alphas, betas = _plain_batched_recurrence(ham, v0s, steps)
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    out = []
+    for r in range(v0s.shape[0]):
+        a, b = alphas[:, r], betas[:, r]
+        scale = max(np.abs(a).max(initial=0.0),
+                    np.abs(b).max(initial=0.0), 1.0)
+        m = steps
+        for j in range(steps - 1):
+            if b[j] <= 1e-12 * scale:
+                m = j + 1
+                break
+        out.append(LanczosResult(alphas=a[:m], betas=b[:m], V=None, m=m))
+    return out
+
+
 @dataclass
 class LanczosResult:
     alphas: np.ndarray   # (m,)

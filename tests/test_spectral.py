@@ -155,6 +155,26 @@ def test_gf_spin_down_matches_lehmann(engine):
     np.testing.assert_allclose(got, expect, atol=1e-8)
 
 
+def test_gf_batched_matches_lehmann_and_serial(engine):
+    """spectral_functions_batched: one batched SpMM recurrence per
+    destination sector must reproduce the serial per-pair CFs."""
+    omegas = np.linspace(-8, 8, 81)
+    delta = 0.12
+    pairs = [(0, 0), (0, 2), (1, 1), (1, 3)]
+    outs = engine.spectral_functions_batched("c", pairs, spin=0)
+    assert len(outs) == len(pairs)
+    for (i, j), (coll, labels) in zip(pairs, outs):
+        got = coll.evaluate(omegas, delta)
+        expect = lehmann_g(engine.model, 4, (2, 2), i, j, 0, omegas,
+                           delta)
+        np.testing.assert_allclose(got, expect, atol=1e-8)
+        serial_coll, serial_labels = engine.spectral_function(
+            "c", i, j, spin=0)
+        assert labels == serial_labels
+        np.testing.assert_allclose(
+            got, serial_coll.evaluate(omegas, delta), atol=1e-8)
+
+
 def test_two_point_density_density(engine):
     """<n_i n_j> via two_point with op n against dense ground state."""
     res = engine.two_point("n", spin=(0, 0))
