@@ -19,6 +19,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def ktwoniffour_types(n: int):
+    """Site-type pattern of the K2NiF4 (KTwoNiFFour) geometry used by
+    the Immm model: 'C' = copper (1 orbital), 'O' = oxygen (2 orbitals)
+    (reference: src/Models/Immm/BasisImmm.h:49-57 maps TYPE_C -> 1
+    orbital, else 2).
+
+    PsimagLite's KTwoNiFFour source is not available in this
+    environment (and the reference ships no Immm inputs), so the cell
+    layout is a RECONSTRUCTION of the K2NiF4 structure: period-3 cells
+    [O_x, O_y, Cu] — a chain of corner-sharing CuO2 plaquette units,
+    one copper and two inequivalent oxygens per cell.  The pattern (and
+    everything derived from it) can be overridden with an
+    `OrbsPerSite` input vector."""
+    return ["C" if i % 3 == 2 else "O" for i in range(n)]
+
+
 class Geometry:
     def __init__(self, inp):
         self.nsites = inp.integer("TotalNumberOfSites")
@@ -96,6 +112,33 @@ class Geometry:
             mats = self._connector_values(inp, t, dof, 1)
             for i in range(1, n):
                 add_bond(0, i, mats[0])
+        elif kl == "ktwoniffour":
+            # K2NiF4 reconstruction (see ktwoniffour_types): two
+            # connector directions per term — [Cu-O, O-O] for the
+            # hopping term, [Upd] (Cu-O only) for the density term.
+            # Bonds per cell c (sites 3c=O_x, 3c+1=O_y, 3c+2=Cu):
+            # Cu-O_x, Cu-O_y, O_x-O_y within the cell, and Cu-O_x of
+            # the next cell (corner-sharing plaquette chain).
+            mats = self._connector_values(inp, t, dof, 2)
+            cu_o, o_o = mats[0], mats[1]
+            if dof == 1 and len(inp.vector("Connectors", occurrence=t)) < 2:
+                # one connector value = Cu-O only (the Upd term shape:
+                # Immm.h:178-181 queries geometry(i,0,j,0,1) between
+                # oxygens and coppers; no O-O density coupling)
+                o_o = np.zeros_like(cu_o)
+            ncell = (n + 2) // 3
+            for cell in range(ncell):
+                ox, oy, cu = 3 * cell, 3 * cell + 1, 3 * cell + 2
+                if cu < n:
+                    add_bond(ox, cu, cu_o)
+                    add_bond(oy, cu, cu_o)
+                if oy < n:
+                    add_bond(ox, oy, o_o)
+                nox = 3 * (cell + 1)
+                if cu < n and nox < n:
+                    add_bond(cu, nox, cu_o)
+                elif cu < n and px and cell == ncell - 1 and ncell > 1:
+                    add_bond(cu, 0, cu_o)
         elif kl in ("longrange", "raw"):
             mat = np.array(inp.matrix("Connectors", occurrence=t),
                            dtype=np.float64)

@@ -93,6 +93,13 @@ class ImmmModel:
         n = geometry.number_of_sites()
         if inp.has("OrbsPerSite"):
             self.orbs_per_site = [int(x) for x in inp.vector("OrbsPerSite")]
+        elif geometry.kind(0).lower() == "ktwoniffour":
+            # the reference's pattern source: KTwoNiFFour site types,
+            # TYPE_C -> 1 orbital, O -> 2 (BasisImmm.h:49-57)
+            from lanczosplusplus_tpu.geometry.geometry import \
+                ktwoniffour_types
+            self.orbs_per_site = [1 if t == "C" else 2
+                                  for t in ktwoniffour_types(n)]
         else:
             # O(2), Cu(1) alternating — see module docstring
             self.orbs_per_site = [2 if i % 2 == 0 else 1 for i in range(n)]

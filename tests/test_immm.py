@@ -110,3 +110,55 @@ def test_immm_gf_lehmann():
         for m in range(len(es)):
             expect += a[m] ** 2 / (z - sigma * (es[m] - e0s[0]))
     np.testing.assert_allclose(got, expect, atol=1e-8)
+
+
+def ktwoniffour_input(nsite, nup, ndown, periodic=0):
+    return parse_input(f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=ktwoniffour
+GeometryOptions=ConstantValues
+Connectors 2 -1.0 -0.3
+DegreesOfFreedom=1
+GeometryKind=ktwoniffour
+GeometryOptions=ConstantValues
+Connectors 1 0.6
+Model=Immm
+hubbardU {nsite} {" ".join(["3"] * nsite)}
+potentialV {nsite} {" ".join(["0.2"] * nsite)}
+SolverOptions=none
+TargetElectronsUp={nup}
+TargetElectronsDown={ndown}
+IsPeriodicX={periodic}
+""")
+
+
+def test_ktwoniffour_pattern_and_bonds():
+    """KTwoNiFFour geometry: [O,O,Cu] cells, Cu-O + O-O hopping bonds,
+    Upd on Cu-O only (reconstruction, see geometry.ktwoniffour_types)."""
+    inp = ktwoniffour_input(6, 2, 2)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    assert model.orbs_per_site == [2, 2, 1, 2, 2, 1]
+    hop = geom.coupling_matrix(0)
+    # within cell 0: Cu(2)-O(0), Cu(2)-O(1), O(0)-O(1); across: Cu(2)-O(3)
+    assert hop[0, 2] == -1.0 and hop[1, 2] == -1.0
+    assert hop[0, 1] == -0.3
+    assert hop[2, 3] == -1.0
+    assert hop[0, 3] == 0.0
+    np.testing.assert_allclose(hop, hop.T)
+    upd = geom.coupling_matrix(1)
+    assert upd[0, 2] == 0.6 and upd[1, 2] == 0.6
+    assert upd[0, 1] == 0.0  # no O-O density coupling
+
+
+def test_ktwoniffour_engine_vs_dense():
+    inp = ktwoniffour_input(6, 2, 2)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    dense = eng.hamiltonian.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-12)
+    expect = np.linalg.eigvalsh(dense)[0]
+    assert eng.ground_energy == pytest.approx(expect, abs=1e-9)
