@@ -222,6 +222,24 @@ def main():
     _ = float(b[-1])
     lanczos_iter_s_bf16 = 32 / (time.perf_counter() - t0)
 
+    # selective reorth + bf16 Krylov basis: the V-row store is the
+    # dominant non-matvec traffic of a typical (no-reorth) step, so
+    # halving it compounds with the selective schedule
+    x = jax.random.normal(key, (dim,), jnp.float32)
+    x = x / jnp.linalg.norm(x)
+    Vsb = jnp.zeros((steps, dim), jnp.bfloat16)
+    stb = _selective_init_state(x, steps)
+    Vsb, stb, a, b, re = _lanczos_chunk_selective(ham, Vsb, stb,
+                                                  jnp.arange(32))
+    jax.block_until_ready(b)
+    _ = float(b[0])
+    t0 = time.perf_counter()
+    Vsb, stb, a, b, re = _lanczos_chunk_selective(ham, Vsb, stb,
+                                                  jnp.arange(32, 64))
+    jax.block_until_ready(b)
+    _ = float(b[-1])
+    lanczos_iter_s_sel_bf16 = 32 / (time.perf_counter() - t0)
+
     # bytes moved per matvec: index + value per nnz (int32 + f32 for the
     # factorized maps are amortized over the Kronecker batch, but each
     # gathered x element is a real read) + vector reads/writes
@@ -260,6 +278,8 @@ def main():
             "lanczos_iters_per_s_selective": round(lanczos_iter_s_sel, 2),
             "selective_reorth_steps": n_reorth_sel,
             "lanczos_iters_per_s_bf16V": round(lanczos_iter_s_bf16, 2),
+            "lanczos_iters_per_s_selective_bf16V":
+                round(lanczos_iter_s_sel_bf16, 2),
         },
     }))
 

@@ -176,6 +176,19 @@ class Engine:
                     dtype=self.config.scalar_dtype)
         return self._ham_cache[parts]
 
+    def _cached_dense_hamiltonian(self, parts):
+        """Dense-factor (MXU GEMM) form of a sector Hamiltonian for
+        batched recurrences: the index-gather SpMM path materializes a
+        (R, dim)-sized intermediate per hop factor, which blows HBM at
+        large dims x batch; the densified Kronecker factors make each
+        block step two GEMMs instead."""
+        if not hasattr(self, "_dense_ham_cache"):
+            self._dense_ham_cache = {}
+        if parts not in self._dense_ham_cache:
+            self._dense_ham_cache[parts] = \
+                self._cached_hamiltonian(parts).densify_factors()
+        return self._dense_ham_cache[parts]
+
     # -- operator application across sectors ------------------------------
 
     def _get_needed_basis(self, parts, op, spin, orb):
@@ -321,7 +334,7 @@ class Engine:
                     (pi, slot, weight, s, s2, meta,
                      modif / np.sqrt(weight)))
         for parts_key, jobs in pending.items():
-            ham_new = self._cached_hamiltonian(parts_key)
+            ham_new = self._cached_dense_hamiltonian(parts_key)
             v0s = jnp.asarray(np.stack([j[6] for j in jobs]))
             ress = lz.tridiagonalize_plain_batched(ham_new, v0s, steps)
             for (pi, slot, weight, s, s2, meta, _), res in zip(jobs, ress):

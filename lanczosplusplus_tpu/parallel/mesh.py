@@ -152,6 +152,27 @@ def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
                 trace_dim=dim, operators=ops)
 
 
+def distributed_spectral_fleet(ham, mesh: Mesh, v0s, steps: int = 100):
+    """Batched continued-fraction tridiagonalizations (the spectral-
+    function fleet of Engine.spectral_functions_batched) with the
+    destination sector row-sharded over the mesh: each block step is a
+    sharded SpMM, per-vector alpha/beta are psum reductions.  v0s is
+    the (R, dim) block of normalized op|gs> start vectors; padded
+    coordinates (decoupled zero-eigenvalue rows) carry zero start
+    amplitude and never enter the Krylov space, so the returned
+    tridiagonals equal the single-device ones.  Returns the list of
+    per-vector LanczosResult for ContinuedFraction assembly."""
+    from lanczosplusplus_tpu.solver.lanczos import \
+        tridiagonalize_plain_batched
+
+    sham = shard_hamiltonian(ham, mesh)
+    dim, dimp = ham.dim, sham.dim
+    v0s = jnp.asarray(np.asarray(v0s), dtype=sham.dtype)
+    v0s = jnp.pad(v0s, ((0, 0), (0, dimp - dim)))
+    v0s = jax.device_put(v0s, NamedSharding(mesh, P(None, ROWS)))
+    return tridiagonalize_plain_batched(sham, v0s, steps)
+
+
 def distributed_kpm_dos(ham, mesh: Mesh, num_moments: int = 256,
                         num_vectors: int = 16, seed: int = 314159,
                         bounds=None):

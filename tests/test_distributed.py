@@ -151,3 +151,19 @@ def test_distributed_kpm_matches_single():
                     bounds=bounds)
     np.testing.assert_allclose(res_d.moments, res_s.moments,
                                rtol=1e-8, atol=1e-6)
+
+
+def test_distributed_spectral_fleet_matches():
+    """Row-sharded batched CF tridiagonalization == single-device."""
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(11)
+    v0s = rng.standard_normal((3, ham.dim))
+    v0s /= np.linalg.norm(v0s, axis=1, keepdims=True)
+    got = pmesh.distributed_spectral_fleet(ham, mesh, v0s, steps=40)
+    ref = lz.tridiagonalize_plain_batched(ham, v0s, 40)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.m == r.m
+        np.testing.assert_allclose(g.alphas, r.alphas, atol=1e-9)
+        np.testing.assert_allclose(g.betas, r.betas, atol=1e-9)

@@ -202,3 +202,24 @@ def test_lanczos_large_sector():
     e_arpack = spla.eigsh(op, k=1, which="SA",
                           return_eigenvectors=False)[0]
     assert eng.ground_energy == pytest.approx(e_arpack, abs=1e-9)
+
+
+def test_heisenberg_batched_spectral_matches_serial():
+    """Batched CF fleet: non-fermionic sector-changing (splus) and
+    diagonal (sz) operators, off-diagonal pairs included."""
+    nsite = 6
+    inp = parse_input(heis_input(nsite, 1, 3, periodic=1))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    omegas = np.linspace(-5, 5, 61)
+    delta = 0.13
+    for op in ("sz", "splus"):
+        pairs = [(0, 0), (1, 4), (2, 2)]
+        outs = eng.spectral_functions_batched(op, pairs, spin=0)
+        for (i, j), (coll, labels) in zip(pairs, outs):
+            scoll, slabels = eng.spectral_function(op, i, j, spin=0)
+            assert labels == slabels
+            np.testing.assert_allclose(
+                coll.evaluate(omegas, delta),
+                scoll.evaluate(omegas, delta), atol=1e-8)

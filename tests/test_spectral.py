@@ -175,6 +175,23 @@ def test_gf_batched_matches_lehmann_and_serial(engine):
             got, serial_coll.evaluate(omegas, delta), atol=1e-8)
 
 
+def test_gf_batched_complex_scalar():
+    """Batched fleet with a complex ground state (useComplex)."""
+    inp = parse_input(TEXT.replace("SolverOptions=none",
+                                   "SolverOptions=useComplex"))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    omegas = np.linspace(-6, 6, 41)
+    pairs = [(0, 1), (2, 2)]
+    outs = eng.spectral_functions_batched("c", pairs, spin=0)
+    for (i, j), (coll, labels) in zip(pairs, outs):
+        scoll, _ = eng.spectral_function("c", i, j, spin=0)
+        np.testing.assert_allclose(coll.evaluate(omegas, 0.1),
+                                   scoll.evaluate(omegas, 0.1),
+                                   atol=1e-8)
+
+
 def test_two_point_density_density(engine):
     """<n_i n_j> via two_point with op n against dense ground state."""
     res = engine.two_point("n", spin=(0, 0))
