@@ -55,12 +55,7 @@ IsPeriodicX=0
     ham = model.hamiltonian(basis, dtype=np.float32)
     print(f"dim={basis.size} nnz={ham.nnz}")
 
-    results = {}
-    for ndev in (1, 2, 4, 8):
-        if ndev > len(jax.devices()):
-            continue
-        mesh = pmesh.make_mesh(jax.devices()[:ndev])
-        sham = pmesh.shard_hamiltonian(ham, mesh)
+    def time_path(sham, mesh):
         dim = sham.dim
         steps = 16
         V = jax.device_put(
@@ -74,12 +69,27 @@ IsPeriodicX=0
         t0 = time.perf_counter()
         V, v2, a, b = _lanczos_chunk(sham, V, v2, jnp.arange(8, 16))
         jax.block_until_ready(b)
-        dt = (time.perf_counter() - t0) / 8
-        results[ndev] = dt
-        base = results.get(1, dt)
+        return (time.perf_counter() - t0) / 8
+
+    from lanczosplusplus_tpu.parallel.kron import shard_kron_hamiltonian
+
+    results = {}
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(jax.devices()):
+            continue
+        mesh = pmesh.make_mesh(jax.devices()[:ndev])
+        dt_flat = time_path(pmesh.shard_hamiltonian(ham, mesh), mesh)
+        kham, _ = shard_kron_hamiltonian(ham, mesh)
+        dt_kron = time_path(kham, mesh)
+        results[ndev] = (dt_flat, dt_kron)
+        base_f, base_k = results.get(1, (dt_flat, dt_kron))
         print(json.dumps({
-            "devices": ndev, "s_per_iter": round(dt, 4),
-            "speedup_vs_1": round(base / dt, 2),
+            "devices": ndev,
+            "flat_ell_s_per_iter": round(dt_flat, 4),
+            "kron_s_per_iter": round(dt_kron, 4),
+            "kron_over_flat_x": round(dt_flat / dt_kron, 2),
+            "flat_speedup_vs_1": round(base_f / dt_flat, 2),
+            "kron_speedup_vs_1": round(base_k / dt_kron, 2),
         }))
 
 

@@ -175,39 +175,9 @@ def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
                        seed: int = 7239443, max_steps: int = 200):
     """Distributed lowest_states with halo-exchange communication
     instead of a full all-gather."""
-    from lanczosplusplus_tpu.parallel import mesh as pmesh
+    from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     plan = HaloPlan(ham, mesh.devices.size)
     sham = plan.hamiltonian(mesh)
-    from lanczosplusplus_tpu.solver import lanczos as lz
-
-    dim = sham.dim
-    steps = int(min(dim, max_steps))
-    v0 = lz.random_start_vector(plan.orig_dim, seed, sham.dtype)
-    v0 = jnp.concatenate([jnp.asarray(v0),
-                          jnp.zeros(dim - plan.orig_dim,
-                                    dtype=sham.dtype)])
-    v0 = pmesh.sharded_vector(v0, mesh)
-    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
-                       NamedSharding(mesh, P(None, ROWS)))
-    from lanczosplusplus_tpu.solver.lanczos import (
-        _lanczos_chunk_selective, _selective_init_state)
-    state = _selective_init_state(v0, steps)
-    V, state, alphas, betas, _ = _lanczos_chunk_selective(
-        sham, V, state, jnp.arange(steps))
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= 1e-12 * scale:
-            m = j + 1
-            break
-    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
-    k = min(num_states, m)
-    w = jnp.asarray(np.vstack([evecs[:, :k],
-                               np.zeros((steps - m, k))]), dtype=V.dtype)
-    vecs = (V.T @ w).T
-    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-    return evals[:k], np.asarray(vecs)[:, :plan.orig_dim]
+    return sharded_selective_solve(sham, mesh, plan.orig_dim,
+                                   num_states, seed, max_steps)

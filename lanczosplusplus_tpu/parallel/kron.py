@@ -79,6 +79,33 @@ class KronHamiltonian:
             y = y + jnp.sum(self.ell_vals * x[self.ell_cols], axis=-1)
         return y
 
+    def matmat_t(self, xk):
+        """Batch-major SpMM (k, dim) -> (k, dim): the distributed
+        FTLM/KPM/spectral-fleet recurrences keep their carriers in this
+        layout (same contract as Hamiltonian.matmat_t).  The up-factor
+        contraction folds (k, szd) into the GEMM row dimension (pure
+        shard-local MXU); only the dn factor pays a collective."""
+        szd, szu = self.diag2d.shape
+        k = xk.shape[0]
+        x3 = xk.reshape(k, szd, szu)
+        y = self.diag2d[None] * x3
+        if self.up_dense is not None:
+            y = y + jax.lax.dot_general(
+                x3, self.up_dense,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=xk.dtype)
+        if self.dn_dense is not None:
+            t = jax.lax.dot_general(
+                self.dn_dense, x3,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=xk.dtype)   # (szd, k, szu)
+            y = y + jnp.transpose(t, (1, 0, 2))
+        y = y.reshape(k, -1)
+        if self.ell_cols is not None:
+            y = y + jnp.einsum("rs,brs->br", self.ell_vals,
+                               xk[:, self.ell_cols])
+        return y
+
 
 def shard_kron_hamiltonian(ham, mesh: Mesh,
                            max_factor_bytes: int = 4 << 30):
@@ -129,36 +156,8 @@ def kron_lowest_states(ham, mesh: Mesh, num_states: int = 1,
     """Distributed lowest_states in Kronecker form: the same selective
     Lanczos scan as the single-chip solver, with the Krylov basis and
     state vector sharded over the mesh rows."""
-    from lanczosplusplus_tpu.solver import lanczos as lz
-    from lanczosplusplus_tpu.solver.lanczos import (
-        _lanczos_chunk_selective, _selective_init_state)
+    from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
-    orig_dim = ham.dim
     kham, _ = shard_kron_hamiltonian(ham, mesh)
-    dim = kham.dim
-    steps = int(min(dim, max_steps))
-    v0 = lz.random_start_vector(orig_dim, seed, kham.dtype)
-    v0 = jnp.concatenate([jnp.asarray(v0),
-                          jnp.zeros(dim - orig_dim, dtype=kham.dtype)])
-    v0 = jax.device_put(v0, NamedSharding(mesh, P(ROWS)))
-    V = jax.device_put(jnp.zeros((steps, dim), dtype=kham.dtype),
-                       NamedSharding(mesh, P(None, ROWS)))
-    state = _selective_init_state(v0, steps)
-    V, state, alphas, betas, _ = _lanczos_chunk_selective(
-        kham, V, state, jnp.arange(steps))
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= 1e-12 * scale:
-            m = j + 1
-            break
-    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
-    k = min(num_states, m)
-    w = jnp.asarray(np.vstack([evecs[:, :k],
-                               np.zeros((steps - m, k))]), dtype=V.dtype)
-    vecs = (V.T @ w).T
-    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-    return evals[:k], np.asarray(vecs)[:, :orig_dim]
+    return sharded_selective_solve(kham, mesh, ham.dim, num_states,
+                                   seed, max_steps)

@@ -44,6 +44,49 @@ def sharded_vector(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P(ROWS)))
 
 
+def shard_for_mesh(ham, mesh: Mesh, prefer_kron: bool = True):
+    """Place a sector Hamiltonian on `mesh` in its best distributed
+    form: Kronecker (parallel/kron.py — shard-local MXU GEMM for the
+    up factor, one collective for the down factor) whenever the
+    Hamiltonian has densifiable spin factors, else the padded flat ELL
+    (all-gather of x per matvec).  This is the production dispatch for
+    every distributed driver below."""
+    if prefer_kron and getattr(ham, "factorized", None) is not None:
+        from lanczosplusplus_tpu.parallel.kron import \
+            shard_kron_hamiltonian
+        try:
+            kham, _ = shard_kron_hamiltonian(ham, mesh)
+            return kham
+        except ValueError:
+            pass  # factors too large to densify: fall through to ELL
+    return shard_hamiltonian(ham, mesh)
+
+
+def sharded_selective_solve(sham, mesh: Mesh, orig_dim: int,
+                            num_states: int, seed: int, max_steps: int):
+    """Shared distributed lowest_states driver: run the selective-
+    reorthogonalization Lanczos scan on an already-sharded Hamiltonian
+    (flat ELL, halo or Kronecker form — anything with .dim/.dtype/
+    .matvec), with the Krylov basis and state vector row-sharded over
+    `mesh`; finish with the common epilogue.  Padded coordinates carry
+    zero start amplitude and never enter the Krylov space."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    dim = sham.dim
+    steps = int(min(dim, max_steps))
+    v0 = lz.random_start_vector(orig_dim, seed, sham.dtype)
+    v0 = jnp.concatenate([jnp.asarray(v0),
+                          jnp.zeros(dim - orig_dim, dtype=sham.dtype)])
+    v0 = sharded_vector(v0, mesh)
+    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
+                       NamedSharding(mesh, P(None, ROWS)))
+    state = lz._selective_init_state(v0, steps)
+    V, state, alphas, betas, _ = lz._lanczos_chunk_selective(
+        sham, V, state, jnp.arange(steps))
+    evals, vecs = lz.finish_lanczos(alphas, betas, V, num_states)
+    return evals, np.asarray(vecs)[:, :orig_dim]
+
+
 def lanczos_step(ham, v, v_prev, beta_prev):
     """One distributed Lanczos iteration (matvec + alpha/beta): the unit
     the multi-chip dry run compiles and executes."""
@@ -66,49 +109,19 @@ def jit_lanczos_step(mesh: Mesh):
 
 
 def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
-                              seed: int = 7239443, max_steps: int = 200):
+                              seed: int = 7239443, max_steps: int = 200,
+                              prefer_kron: bool = True):
     """Row-sharded computeAllStatesBelow over a device mesh.
 
-    The padded ELL Hamiltonian, the state vector and the Krylov basis
-    (second axis) are sharded over `mesh`; the same `_lanczos_chunk`
-    scan runs with XLA inserting the x all-gather for the column gather
-    and psum reductions for the Lanczos scalars.  Returns (energies,
-    vectors) with vectors trimmed back to the unpadded dimension.
-    """
-    from lanczosplusplus_tpu.solver import lanczos as lz
-
-    orig_dim = ham.dim
-    sham = shard_hamiltonian(ham, mesh)
-    dim = sham.dim
-    steps = int(min(dim, max_steps))
-    v0 = lz.random_start_vector(orig_dim, seed, sham.dtype)
-    v0 = jnp.concatenate([jnp.asarray(v0),
-                          jnp.zeros(dim - orig_dim, dtype=sham.dtype)])
-    v0 = sharded_vector(v0, mesh)
-    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
-                       NamedSharding(mesh, P(None, ROWS)))
-    from lanczosplusplus_tpu.solver.lanczos import (
-        _lanczos_chunk_selective, _selective_init_state)
-    state = _selective_init_state(v0, steps)
-    V, state, alphas, betas, _ = _lanczos_chunk_selective(
-        sham, V, state, jnp.arange(steps))
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= 1e-12 * scale:
-            m = j + 1
-            break
-    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
-    k = min(num_states, m)
-    w = jnp.asarray(np.vstack([evecs[:, :k],
-                               np.zeros((steps - m, k))]),
-                    dtype=V.dtype)
-    vecs = (V.T @ w).T
-    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-    return evals[:k], np.asarray(vecs)[:, :orig_dim]
+    Spin-factorizable Hamiltonians run in distributed Kronecker form
+    (shard-local MXU GEMM for the up factor; only the down factor pays
+    a collective); others pad + flatten to ELL, where XLA inserts the
+    x all-gather for the column gather.  Lanczos scalars are psum
+    reductions either way.  Returns (energies, vectors) with vectors
+    trimmed back to the unpadded dimension."""
+    sham = shard_for_mesh(ham, mesh, prefer_kron=prefer_kron)
+    return sharded_selective_solve(sham, mesh, ham.dim, num_states,
+                                   seed, max_steps)
 
 
 def _padded_random_block(dim, dimp, num_vectors, dtype, seed, mesh):
@@ -134,7 +147,7 @@ def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
     the padded dimension."""
     from lanczosplusplus_tpu.engine.ftlm import ftlm
 
-    sham = shard_hamiltonian(ham, mesh)
+    sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
                               seed, mesh)
@@ -165,7 +178,7 @@ def distributed_spectral_fleet(ham, mesh: Mesh, v0s, steps: int = 100):
     from lanczosplusplus_tpu.solver.lanczos import \
         tridiagonalize_plain_batched
 
-    sham = shard_hamiltonian(ham, mesh)
+    sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     v0s = jnp.asarray(np.asarray(v0s), dtype=sham.dtype)
     v0s = jnp.pad(v0s, ((0, 0), (0, dimp - dim)))
@@ -183,7 +196,7 @@ def distributed_kpm_dos(ham, mesh: Mesh, num_moments: int = 256,
     from lanczosplusplus_tpu.engine.kpm import (chebyshev_moments,
                                                 spectral_bounds)
 
-    sham = shard_hamiltonian(ham, mesh)
+    sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     if bounds is None:
         bounds = spectral_bounds(sham)

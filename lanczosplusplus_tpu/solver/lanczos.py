@@ -308,15 +308,7 @@ def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
                                                 jnp.complex128)
                                    else jnp.float32),
         jnp.arange(steps))
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= 1e-12 * scale:
-            m = j + 1
-            break
+    alphas, betas, m = trim_at_breakdown(alphas, betas)
     evals, evecs = tridiag_eigh(alphas[:m], betas[:m])
     k = min(num_states, m)
     vecs = []
@@ -344,15 +336,7 @@ def tridiagonalize_plain(ham, v0, steps: int):
     v, vp, beta, alphas, betas = _lanczos_chunk_plain(
         ham, v0, jnp.zeros_like(v0), jnp.asarray(0.0, rdt),
         jnp.arange(steps))
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= 1e-12 * scale:
-            m = j + 1
-            break
+    alphas, betas, m = trim_at_breakdown(alphas, betas)
     return LanczosResult(alphas=alphas[:m], betas=betas[:m], V=None, m=m)
 
 
@@ -403,16 +387,44 @@ def tridiagonalize_plain_batched(ham, v0s, steps: int):
     betas = np.asarray(betas, dtype=np.float64)
     out = []
     for r in range(v0s.shape[0]):
-        a, b = alphas[:, r], betas[:, r]
-        scale = max(np.abs(a).max(initial=0.0),
-                    np.abs(b).max(initial=0.0), 1.0)
-        m = steps
-        for j in range(steps - 1):
-            if b[j] <= 1e-12 * scale:
-                m = j + 1
-                break
+        a, b, m = trim_at_breakdown(alphas[:, r], betas[:, r])
         out.append(LanczosResult(alphas=a[:m], betas=b[:m], V=None, m=m))
     return out
+
+
+def trim_at_breakdown(alphas, betas):
+    """(alphas, betas, m): float64 copies of the tridiagonal plus the
+    effective step count m before Lanczos breakdown (an invariant
+    subspace was found; beta underflowed relative to the coefficient
+    scale).  Shared by every solver epilogue."""
+    alphas = np.asarray(alphas, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    steps = len(alphas)
+    scale = max(np.abs(alphas).max(initial=0.0),
+                np.abs(betas).max(initial=0.0), 1.0)
+    m = steps
+    for j in range(steps - 1):
+        if betas[j] <= 1e-12 * scale:
+            m = j + 1
+            break
+    return alphas, betas, m
+
+
+def finish_lanczos(alphas, betas, V, num_states: int):
+    """Shared Lanczos epilogue: trim the tridiagonal at breakdown,
+    eigensolve it on host, and assemble the `num_states` normalized
+    Ritz vectors from the stored Krylov basis V (steps, dim) — used by
+    the single-chip solver and all distributed drivers (plain
+    all-gather, halo, Kronecker).  Returns (evals[:k], vecs (k, dim))."""
+    alphas, betas, m = trim_at_breakdown(alphas, betas)
+    evals, evecs = tridiag_eigh(alphas[:m], betas[:m])
+    k = min(num_states, m)
+    steps = V.shape[0]
+    w = jnp.asarray(np.vstack([evecs[:, :k],
+                               np.zeros((steps - m, k))]), dtype=V.dtype)
+    vecs = (V.T @ w).T
+    vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+    return evals[:k], vecs
 
 
 @dataclass
@@ -435,17 +447,7 @@ def tridiagonalize(ham, v0, steps: int, checkpoint=None,
                                         chunk=chunk,
                                         reorth_dtype=reorth_dtype,
                                         reorth=reorth)
-    alphas = np.asarray(alphas, dtype=np.float64)
-    betas = np.asarray(betas, dtype=np.float64)
-    # trim at breakdown (invariant subspace found)
-    scale = max(np.abs(alphas).max(initial=0.0),
-                np.abs(betas).max(initial=0.0), 1.0)
-    tiny = 1e-12 * scale
-    m = steps
-    for j in range(steps - 1):
-        if betas[j] <= tiny:
-            m = j + 1
-            break
+    alphas, betas, m = trim_at_breakdown(alphas, betas)
     return LanczosResult(alphas=alphas[:m], betas=betas[:m], V=V, m=m)
 
 
