@@ -72,6 +72,7 @@ IsPeriodicX=0
         return (time.perf_counter() - t0) / 8
 
     from lanczosplusplus_tpu.parallel.kron import shard_kron_hamiltonian
+    from lanczosplusplus_tpu.parallel.halo import KronHaloPlan
 
     results = {}
     for ndev in (1, 2, 4, 8):
@@ -81,15 +82,21 @@ IsPeriodicX=0
         dt_flat = time_path(pmesh.shard_hamiltonian(ham, mesh), mesh)
         kham, _ = shard_kron_hamiltonian(ham, mesh)
         dt_kron = time_path(kham, mesh)
-        results[ndev] = (dt_flat, dt_kron)
-        base_f, base_k = results.get(1, (dt_flat, dt_kron))
+        plan = KronHaloPlan(ham, ndev)
+        dt_halo = time_path(plan.hamiltonian(mesh), mesh)
+        results[ndev] = (dt_flat, dt_kron, dt_halo)
+        base_f, base_k, base_h = results.get(
+            1, (dt_flat, dt_kron, dt_halo))
         print(json.dumps({
             "devices": ndev,
             "flat_ell_s_per_iter": round(dt_flat, 4),
             "kron_s_per_iter": round(dt_kron, 4),
+            "halo_s_per_iter": round(dt_halo, 4),
+            "halo_fraction": round(plan.halo_fraction, 4),
             "kron_over_flat_x": round(dt_flat / dt_kron, 2),
             "flat_speedup_vs_1": round(base_f / dt_flat, 2),
             "kron_speedup_vs_1": round(base_k / dt_kron, 2),
+            "halo_speedup_vs_1": round(base_h / dt_halo, 2),
         }))
 
 

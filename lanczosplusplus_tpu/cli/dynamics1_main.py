@@ -8,6 +8,7 @@ import argparse
 import sys
 
 from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.io_.input_check import validate_input
 from lanczosplusplus_tpu.geometry import Geometry
 from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.engine import Engine
@@ -24,6 +25,7 @@ def run(argv=None):
     p.add_argument("--orbs", default="0,1")
     args = p.parse_args(argv)
     inp = read_input(args.input)
+    validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     engine = Engine(model, inp)

@@ -7,6 +7,7 @@ import argparse
 import sys
 
 from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.io_.input_check import validate_input
 from lanczosplusplus_tpu.geometry import Geometry
 from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.engine.thermal import ExactDiag
@@ -21,6 +22,7 @@ def run(argv=None):
                         "(scales to sectors dense eigh cannot touch)")
     args = p.parse_args(argv)
     inp = read_input(args.input)
+    validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     use_ftlm = args.ftlm or "ftlm" in inp.solver_options()

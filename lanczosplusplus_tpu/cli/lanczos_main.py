@@ -22,6 +22,7 @@ import numpy as np
 
 from lanczosplusplus_tpu import __version__
 from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.io_.input_check import validate_input
 from lanczosplusplus_tpu.geometry import Geometry
 from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.engine import Engine
@@ -69,6 +70,7 @@ def run(argv=None):
 
     np.set_printoptions(precision=args.precision)
     inp = read_input(args.input)
+    validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     engine = Engine(model, inp)

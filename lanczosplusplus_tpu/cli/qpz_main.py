@@ -6,6 +6,7 @@ from __future__ import annotations
 import argparse
 
 from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.io_.input_check import validate_input
 from lanczosplusplus_tpu.geometry import Geometry
 from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.engine import Engine
@@ -20,6 +21,7 @@ def run(argv=None):
                    help="normalize by <phi_k|phi_k>")
     args = p.parse_args(argv)
     inp = read_input(args.input)
+    validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     engine = Engine(model, inp)

@@ -13,6 +13,7 @@ import argparse
 import sys
 
 from lanczosplusplus_tpu.io_.input_parser import read_input
+from lanczosplusplus_tpu.io_.input_check import validate_input
 from lanczosplusplus_tpu.geometry import Geometry
 from lanczosplusplus_tpu.models import build_model
 from lanczosplusplus_tpu.engine.thermal import GrandCanonical
@@ -32,6 +33,7 @@ def run(argv=None):
     args = p.parse_args(argv)
 
     inp = read_input(args.input)
+    validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
     name = inp.string("Model")

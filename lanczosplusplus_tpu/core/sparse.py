@@ -439,6 +439,56 @@ class Hamiltonian:
         return m
 
 
+def flatten_to_ell_host(ham, multiple: int = 1):
+    """Numpy-native padded ELL flatten: (diag, cols, vals) host arrays,
+    rows padded to `multiple` (self-referencing zero rows).
+
+    Same layout as Hamiltonian.padded(multiple) but built with numpy
+    memcpy-speed broadcasts instead of eager jnp ops — plan builders
+    (HaloPlan) consume host arrays, and the jnp round-trip dominated
+    their construction time at 1e7-dim sectors."""
+    dim = ham.dim
+    blocks_c, blocks_v = [], []
+    if ham.factorized is not None:
+        szd, szu = ham.spin_shape
+        f = ham.factorized
+        if f.up_cols is not None:
+            cu = np.asarray(f.up_cols).astype(np.int64)
+            vu = np.asarray(f.up_vals)
+            ku = cu.shape[1]
+            base = (np.arange(szd, dtype=np.int64) * szu)[:, None, None]
+            blocks_c.append(np.ascontiguousarray(
+                np.broadcast_to(cu[None], (szd, szu, ku)) + base
+            ).reshape(dim, ku))
+            blocks_v.append(np.ascontiguousarray(np.broadcast_to(
+                vu[None], (szd, szu, ku))).reshape(dim, ku))
+        if f.dn_cols is not None:
+            cd = np.asarray(f.dn_cols).astype(np.int64)
+            vd = np.asarray(f.dn_vals)
+            kd = cd.shape[1]
+            iu = np.arange(szu, dtype=np.int64)[None, :, None]
+            blocks_c.append(np.ascontiguousarray(
+                cd[:, None, :] * szu + iu).reshape(dim, kd))
+            blocks_v.append(np.ascontiguousarray(np.broadcast_to(
+                vd[:, None, :], (szd, szu, kd))).reshape(dim, kd))
+    if ham.ell is not None:
+        blocks_c.append(np.asarray(ham.ell.cols).astype(np.int64))
+        blocks_v.append(np.asarray(ham.ell.vals))
+    cols = np.concatenate(blocks_c, axis=1)
+    vals = np.concatenate(blocks_v, axis=1)
+    diag = np.asarray(ham.diag)
+    rem = (-dim) % multiple
+    if rem:
+        k = cols.shape[1]
+        pad_cols = np.broadcast_to(
+            np.arange(dim, dim + rem, dtype=np.int64)[:, None], (rem, k))
+        cols = np.concatenate([cols, pad_cols], axis=0)
+        vals = np.concatenate(
+            [vals, np.zeros((rem, k), vals.dtype)], axis=0)
+        diag = np.concatenate([diag, np.zeros((rem,), diag.dtype)])
+    return diag, cols.astype(np.int32), vals
+
+
 def apply_block_t(ham, xk):
     """Apply any Hamiltonian-like object to a batch-major (k, dim)
     block: uses the object's `matmat_t` when it has one, falling back

@@ -72,10 +72,27 @@ class Engine:
             elif use_factored:
                 self._solve_factored(nstates)
             else:
-                self._energies, self._vectors = lz.lowest_states(
+                self._energies, self._vectors, info = lz.lowest_states(
                     self.hamiltonian, num_states=nstates,
                     seed=self.config.seed,
-                    max_steps=self.config.lanczos_steps)
+                    max_steps=self.config.lanczos_steps,
+                    return_info=True)
+                self._log_solve(info)
+
+    def _log_solve(self, info):
+        """Reference-style convergence report (Engine.h:624-639 prints
+        'lanczos solver failed ... trying fullDiag')."""
+        self.solve_info = info
+        if info.used_dense_fallback and info.steps:
+            self.progress(
+                "Lanczos did not converge (relative residual "
+                f"{info.residual:.3e} after {info.steps} steps); "
+                "used dense fullDiag fallback")
+        elif not info.converged:
+            self.progress(
+                "WARNING: Lanczos unconverged (relative residual "
+                f"{info.residual:.3e} after {info.steps} steps) and "
+                "sector too large for dense fallback")
 
     @property
     def hamiltonian(self):
@@ -98,9 +115,10 @@ class Engine:
         factorization (SolverOptions=factored): every hot op is an MXU
         matmul and the flat ELL is never materialized for the solve."""
         ham = self._factored_hamiltonian(self.parts, self.basis)
-        evals, vecs = lz.lowest_states(
+        evals, vecs, info = lz.lowest_states(
             ham, num_states=nstates, seed=self.config.seed,
-            max_steps=self.config.lanczos_steps)
+            max_steps=self.config.lanczos_steps, return_info=True)
+        self._log_solve(info)
         self._energies = evals
         self._vectors = [np.asarray(v) for v in vecs]
 

@@ -32,59 +32,65 @@ from lanczosplusplus_tpu.parallel.mesh import ROWS
 
 class HaloPlan:
     def __init__(self, ham, ndev: int):
-        h = ham.padded(ndev)
-        dim = h.dim
-        shard = dim // ndev
-        cols = np.asarray(h.ell.cols)
-        vals = np.asarray(h.ell.vals)
-        k = cols.shape[1]
-        owner = cols // shard
+        from lanczosplusplus_tpu.core.sparse import flatten_to_ell_host
 
-        send_lists = [[np.zeros(0, np.int64) for _ in range(ndev)]
-                      for _ in range(ndev)]
-        new_cols = np.zeros_like(cols)
-        # per consumer device: unique remote columns per owner
-        halo_sizes = np.zeros((ndev, ndev), dtype=np.int64)
-        remote_maps = {}
+        diag, cols, vals = flatten_to_ell_host(ham, ndev)
+        dim = diag.shape[0]
+        shard = dim // ndev
+
+        # Fully vectorized plan construction (no per-nonzero Python and
+        # no global sort): a (ndev, dim) needed-column bitmask is built
+        # with one scatter pass per ELL slot, then the per-consumer
+        # unique remote columns fall out of np.nonzero already sorted
+        # (hence grouped by owner, since owner = col // shard).  An
+        # int32 (ndev, dim) remap table turns the column remapping into
+        # one gather pass per slot.  Slots that never leave their shard
+        # (e.g. the up-spin Kronecker slots, block-diagonal by
+        # construction) are detected with one cheap compare pass and
+        # skip both the bitmask scatter and the remap gather.
+        # O(nnz) work, O(ndev * dim) memory.
+        kslots = cols.shape[1]
+        row_dev = (np.arange(dim, dtype=np.int64) // shard).astype(
+            np.int32)
+        local_lo = row_dev.astype(np.int64) * shard
+        remote_slots = []
+        need = np.zeros((ndev, dim), dtype=bool)
+        for kk in range(kslots):
+            c = cols[:, kk].astype(np.int64)
+            off = c - local_lo
+            if ((off >= 0) & (off < shard)).all():
+                continue                       # slot is all-local
+            remote_slots.append(kk)
+            need[row_dev, c] = True
         for d in range(ndev):
-            rows = slice(d * shard, (d + 1) * shard)
-            c = cols[rows]
-            own = owner[rows]
-            for s in range(ndev):
-                if s == d:
-                    continue
-                mask = own == s
-                uniq = np.unique(c[mask])
-                send_lists[s][d] = uniq - s * shard
-                halo_sizes[d, s] = uniq.shape[0]
-                remote_maps[(d, s)] = {int(x): i
-                                       for i, x in enumerate(uniq)}
-        maxcount = max(int(halo_sizes.max()), 1)
+            need[d, d * shard:(d + 1) * shard] = False
+
+        halo_sizes = np.zeros((ndev, ndev), dtype=np.int64)
+        remap = np.empty((ndev, dim), dtype=np.int32) \
+            if remote_slots else None
+        uniq_per_dev = [np.nonzero(need[d])[0] for d in range(ndev)]
+        for d in range(ndev):
+            halo_sizes[d] = np.bincount(uniq_per_dev[d] // shard,
+                                        minlength=ndev)
+        maxcount = max(int(halo_sizes.max(initial=0)), 1)
+
         # halo buffer layout per consumer: ndev slots of maxcount each
         # (slot s holds what owner s sent; own slot unused)
-        for d in range(ndev):
-            rows = slice(d * shard, (d + 1) * shard)
-            c = cols[rows]
-            own = owner[rows]
-            nc = np.empty_like(c)
-            local = own == d
-            nc[local] = c[local] - d * shard
-            for s in range(ndev):
-                if s == d:
-                    continue
-                mask = own == s
-                if not mask.any():
-                    continue
-                m = remote_maps[(d, s)]
-                flat = c[mask]
-                nc[mask] = shard + s * maxcount + \
-                    np.array([m[int(x)] for x in flat], dtype=np.int64)
-            new_cols[rows] = nc
         send_idx = np.zeros((ndev, ndev, maxcount), dtype=np.int32)
-        for s in range(ndev):
-            for d in range(ndev):
-                lst = send_lists[s][d]
-                send_idx[s, d, :len(lst)] = lst
+        for d in range(ndev):
+            uniq = uniq_per_dev[d]
+            u_s = (uniq // shard).astype(np.int64)
+            starts = np.searchsorted(u_s, np.arange(ndev))
+            pos = np.arange(uniq.shape[0]) - starts[u_s]
+            if remap is not None:
+                remap[d] = np.arange(dim, dtype=np.int32) - d * shard
+                remap[d, uniq] = shard + u_s * maxcount + pos
+            send_idx[u_s, d, pos] = (uniq - u_s * shard).astype(np.int32)
+
+        new_cols = (cols.astype(np.int64) - local_lo[:, None]).astype(
+            np.int32)
+        for kk in remote_slots:
+            new_cols[:, kk] = remap[row_dev, cols[:, kk]]
         self.ndev = ndev
         self.shard = shard
         self.maxcount = maxcount
@@ -92,7 +98,7 @@ class HaloPlan:
         self.orig_dim = ham.dim
         self.new_cols = new_cols.astype(np.int32)
         self.vals = vals
-        self.diag = np.asarray(h.diag)
+        self.diag = diag
         self.send_idx = send_idx
         # communication volume relative to an all-gather of x
         # (which moves dim * (ndev - 1) values in total)
@@ -171,10 +177,185 @@ class HaloHamiltonian:
         return fn(self.diag, self.cols, self.vals, self.send_idx, x)
 
 
+class KronHaloPlan:
+    """Halo exchange for spin-factorized Hamiltonians, planned on the
+    (size_down, Kd) dn factor alone.
+
+    Shards align to whole dn rows (size_down padded to a multiple of
+    ndev, like parallel/kron.py), so the up-spin Kronecker part is
+    shard-local by construction and the only remote data are whole
+    szu-wide dn rows: the all-to-all moves contiguous (max_rows, szu)
+    tiles, the dn gather reads contiguous rows (the VPU-friendly
+    layout), and the plan costs O(size_down * Kd) host work — no
+    O(nnz) index array is ever materialized, on host or device.
+    """
+
+    def __init__(self, ham, ndev: int):
+        f = ham.factorized
+        if f is None or f.dn_cols is None:
+            raise ValueError("KronHaloPlan needs a spin-factorized "
+                             "Hamiltonian with a dn factor")
+        if ham.ell is not None:
+            raise ValueError("KronHaloPlan: spin-coupled ELL remainder "
+                             "unsupported (use HaloPlan)")
+        szd, szu = ham.spin_shape
+        pad = (-szd) % ndev
+        szd_p = szd + pad
+        d_shard = szd_p // ndev
+        cd = np.asarray(f.dn_cols).astype(np.int64)
+        vd = np.asarray(f.dn_vals)
+        if pad:
+            cd = np.vstack([cd, np.broadcast_to(
+                np.arange(szd, szd_p, dtype=np.int64)[:, None],
+                (pad, cd.shape[1]))])
+            vd = np.vstack([vd, np.zeros((pad, vd.shape[1]), vd.dtype)])
+        kd = cd.shape[1]
+        row_dev = np.arange(szd_p, dtype=np.int64) // d_shard
+
+        # unique remote dn rows per consumer device (sorted => grouped
+        # by owner, owner = dn_row // d_shard)
+        need = np.zeros((ndev, szd_p), dtype=bool)
+        for kk in range(kd):
+            need[row_dev, cd[:, kk]] = True
+        for d in range(ndev):
+            need[d, d * d_shard:(d + 1) * d_shard] = False
+        halo_rows = np.zeros((ndev, ndev), dtype=np.int64)
+        uniq_per_dev = [np.nonzero(need[d])[0] for d in range(ndev)]
+        for d in range(ndev):
+            halo_rows[d] = np.bincount(uniq_per_dev[d] // d_shard,
+                                       minlength=ndev)
+        max_rows = max(int(halo_rows.max(initial=0)), 1)
+
+        # dn-row remap: local -> dn_row - D*d_shard; remote ->
+        # d_shard + s*max_rows + pos (position in owner-s's sent tile)
+        remap = np.empty((ndev, szd_p), dtype=np.int32)
+        send_rows = np.zeros((ndev, ndev, max_rows), dtype=np.int32)
+        for d in range(ndev):
+            uniq = uniq_per_dev[d]
+            u_s = uniq // d_shard
+            starts = np.searchsorted(u_s, np.arange(ndev))
+            pos = np.arange(uniq.shape[0]) - starts[u_s]
+            remap[d] = np.arange(szd_p, dtype=np.int32) - d * d_shard
+            remap[d, uniq] = d_shard + u_s * max_rows + pos
+            send_rows[u_s, d, pos] = (uniq - u_s * d_shard).astype(
+                np.int32)
+        ncd = remap[row_dev[:, None], cd]              # (szd_p, Kd)
+
+        diag = np.asarray(ham.diag).reshape(szd, szu)
+        if pad:
+            diag = np.vstack([diag, np.zeros((pad, szu), diag.dtype)])
+        self.ndev = ndev
+        self.spin_shape = (szd_p, szu)
+        self.d_shard = d_shard
+        self.max_rows = max_rows
+        self.dim = szd_p * szu
+        self.orig_dim = ham.dim
+        self.diag2d = diag
+        self.ncd = ncd
+        self.vd = vd
+        self.up_cols = None if f.up_cols is None else \
+            np.asarray(f.up_cols)
+        self.up_vals = None if f.up_vals is None else \
+            np.asarray(f.up_vals)
+        self.up_dense = None if f.up_dense is None else \
+            np.asarray(f.up_dense)
+        self.send_rows = send_rows
+        self.halo_fraction = float(halo_rows.sum() * szu) / \
+            max(self.dim * (ndev - 1), 1)
+
+    def hamiltonian(self, mesh: Mesh) -> "KronHaloHamiltonian":
+        row = NamedSharding(mesh, P(ROWS, None))
+        first = NamedSharding(mesh, P(ROWS, None, None))
+        repl = NamedSharding(mesh, P())
+        up_dense = self.up_dense
+        if up_dense is None and self.up_cols is not None:
+            # densify the local up factor (it is tiny relative to the
+            # sector and turns the local hot loop into an MXU GEMM)
+            szu = self.spin_shape[1]
+            a = np.zeros((szu, szu), self.up_vals.dtype)
+            r = np.repeat(np.arange(szu), self.up_cols.shape[1])
+            np.add.at(a, (r, self.up_cols.reshape(-1)),
+                      self.up_vals.reshape(-1))
+            up_dense = a
+        return KronHaloHamiltonian(
+            diag2d=jax.device_put(jnp.asarray(self.diag2d), row),
+            up_dense=None if up_dense is None else
+            jax.device_put(jnp.asarray(up_dense), repl),
+            ncd=jax.device_put(jnp.asarray(self.ncd), row),
+            vd=jax.device_put(jnp.asarray(self.vd), row),
+            send_rows=jax.device_put(jnp.asarray(self.send_rows), first),
+            mesh=mesh)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KronHaloHamiltonian:
+    """Spin-factorized halo Hamiltonian: local up-factor GEMM + one
+    all-to-all of whole dn rows + contiguous-row dn gather.  Drops into
+    the same Lanczos scan as the single-chip Hamiltonian."""
+    diag2d: jax.Array        # (szd_p, szu) row-sharded
+    up_dense: jax.Array      # (szu, szu) replicated (or None)
+    ncd: jax.Array           # (szd_p, Kd) remapped dn rows
+    vd: jax.Array            # (szd_p, Kd)
+    send_rows: jax.Array     # (ndev, ndev, max_rows)
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dim(self):
+        return self.diag2d.shape[0] * self.diag2d.shape[1]
+
+    @property
+    def dtype(self):
+        return self.vd.dtype
+
+    def matvec(self, x):
+        szu = self.diag2d.shape[1]
+
+        def body(diag2d, up_dense, ncd, vd, send_rows, x):
+            x2d = x.reshape(-1, szu)                   # (d_shard, szu)
+            send = x2d[send_rows[0]]                   # (ndev, mr, szu)
+            recv = jax.lax.all_to_all(send, ROWS, 0, 0)
+            combined = jnp.concatenate(
+                [x2d, recv.reshape(-1, szu)], axis=0)
+            y = diag2d * x2d
+            if up_dense is not None:
+                y = y + jax.lax.dot_general(
+                    x2d, up_dense,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=x2d.dtype)
+            for k in range(vd.shape[1]):
+                y = y + vd[:, k, None] * combined[ncd[:, k], :]
+            return y.reshape(-1)
+
+        row = P(ROWS, None)
+        fn = shard_map(body, mesh=self.mesh,
+                       in_specs=(row, P(), row, row,
+                                 P(ROWS, None, None), P(ROWS)),
+                       out_specs=P(ROWS))
+        return fn(self.diag2d, self.up_dense, self.ncd, self.vd,
+                  self.send_rows, x)
+
+
 def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
                        seed: int = 7239443, max_steps: int = 200):
     """Distributed lowest_states with halo-exchange communication
-    instead of a full all-gather."""
+    instead of a full all-gather (Kronecker-structured halo when the
+    Hamiltonian factorizes, generic flat-ELL halo otherwise)."""
+    from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
+
+    if getattr(ham, "factorized", None) is not None and \
+            ham.ell is None and ham.factorized.dn_cols is not None:
+        plan = KronHaloPlan(ham, mesh.devices.size)
+        sham = plan.hamiltonian(mesh)
+        return sharded_selective_solve(sham, mesh, plan.orig_dim,
+                                       num_states, seed, max_steps)
+    return _halo_lowest_states_flat(ham, mesh, num_states, seed,
+                                    max_steps)
+
+
+def _halo_lowest_states_flat(ham, mesh: Mesh, num_states: int = 1,
+                             seed: int = 7239443, max_steps: int = 200):
+    """Generic flat-ELL halo solve."""
     from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     plan = HaloPlan(ham, mesh.devices.size)

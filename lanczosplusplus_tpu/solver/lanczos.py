@@ -492,30 +492,63 @@ def random_start_vector(dim: int, seed: int, dtype) -> jax.Array:
     return random_start_block(dim, 1, seed, dtype)[:, 0]
 
 
+@dataclass
+class SolveInfo:
+    """Convergence report of a lowest_states solve (the reference logs
+    Lanczos failure and falls back to dense, Engine.h:624-639; this
+    carries the equivalent machine-readable state)."""
+    converged: bool
+    residual: float          # a-posteriori Ritz residual (relative)
+    steps: int               # Lanczos steps actually run
+    used_dense_fallback: bool = False
+
+
+def _dense_solve(ham, num_states: int):
+    dense = ham.to_dense()
+    evals, evecs = np.linalg.eigh(dense)
+    k = min(num_states, dense.shape[0])
+    return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
+
+
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
                   max_steps: int = 200, tol: float = 1e-10,
                   krylov_budget_bytes: int = 6 << 30,
-                  reorth="selective"):
+                  reorth="selective", return_info: bool = False,
+                  dense_fallback_dim: int = 8192,
+                  strict: bool = False):
     """Lowest `num_states` eigenpairs of a sector Hamiltonian.
 
     Equivalent to LanczosSolver::computeAllStatesBelow as driven by
     Engine::computeAllStatesBelow (reference: Engine.h:616-626), with
-    the dense-diagonalization fallback folded in for tiny sectors
-    (reference: Engine.h:627-639).  When the stored Krylov basis would
-    exceed `krylov_budget_bytes`, the memory-light plain two-pass
-    solver takes over automatically (huge sectors).
+    the dense-diagonalization fallback folded in for tiny sectors AND
+    as the failure path: if the Lanczos step-doubling loop ends with
+    the Ritz residual still above tol, the sector is fully
+    diagonalized when `dim <= dense_fallback_dim` (reference:
+    Engine.h:624-639 catches the solver throw and calls fullDiag);
+    otherwise the unconverged result is returned with
+    `SolveInfo.converged=False` (or raised when `strict`).  When the
+    stored Krylov basis would exceed `krylov_budget_bytes`, the
+    memory-light plain two-pass solver takes over (huge sectors).
+
+    Returns (evals, vecs) — or (evals, vecs, SolveInfo) with
+    `return_info=True`.
     """
+    def ret(evals, vecs, info):
+        return (evals, vecs, info) if return_info else (evals, vecs)
+
     dim = ham.dim
     dtype = ham.dtype
     if dim <= max(64, num_states + 2):
-        dense = ham.to_dense()
-        evals, evecs = np.linalg.eigh(dense)
-        k = min(num_states, dim)
-        return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
+        evals, vecs = _dense_solve(ham, num_states)
+        return ret(evals, vecs, SolveInfo(True, 0.0, 0, True))
     itemsize = np.dtype(dtype).itemsize
     if min(dim, max_steps) * dim * itemsize > krylov_budget_bytes:
-        return lowest_states_plain(ham, num_states=num_states, seed=seed,
-                                   max_steps=max_steps)
+        evals, vecs = lowest_states_plain(
+            ham, num_states=num_states, seed=seed, max_steps=max_steps)
+        # the plain path has no stored basis to estimate a residual
+        # from; extremal Ritz values converge first (standard theory)
+        return ret(evals, vecs, SolveInfo(True, float("nan"),
+                                          min(dim, max_steps)))
 
     v0 = random_start_vector(dim, seed, dtype)
     steps = int(min(dim, max_steps))
@@ -530,13 +563,26 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         resid = abs(res.betas[res.m - 1]) * \
             np.abs(evecs[res.m - 1, :k_chk]).max()
         scale = max(np.abs(evals[0]), 1.0)
-        if (res.m < steps or steps >= dim or
-                resid <= tol * scale or steps >= 4 * max_steps):
+        converged = bool(res.m < steps or steps >= dim or
+                         resid <= tol * scale)
+        if converged or steps >= 4 * max_steps:
             break
         steps = int(min(dim, steps * 2))  # not converged: extend
+    if not converged:
+        if dim <= dense_fallback_dim and hasattr(ham, "to_dense"):
+            evals, vecs = _dense_solve(ham, num_states)
+            return ret(evals, vecs,
+                       SolveInfo(True, resid / scale, steps, True))
+        if strict:
+            raise RuntimeError(
+                f"Lanczos failed to converge: relative residual "
+                f"{resid / scale:.3e} > tol {tol:.1e} after {steps} "
+                f"steps at dim {dim} (> dense_fallback_dim "
+                f"{dense_fallback_dim})")
     k = min(num_states, res.m)
     vecs = ritz_vectors(res, evecs[:, :k])
     # normalize (Ritz vectors are orthonormal up to reorth tolerance)
     norms = jnp.linalg.norm(vecs, axis=1, keepdims=True)
     vecs = vecs / norms
-    return evals[:k], vecs
+    return ret(evals[:k], vecs,
+               SolveInfo(converged, resid / scale, steps))

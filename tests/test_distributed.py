@@ -167,3 +167,37 @@ def test_distributed_spectral_fleet_matches():
         assert g.m == r.m
         np.testing.assert_allclose(g.alphas, r.alphas, atol=1e-9)
         np.testing.assert_allclose(g.betas, r.betas, atol=1e-9)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_kron_halo_matvec_matches(ndev):
+    """Kronecker-structured halo (whole dn-row exchange) equals the
+    single-device matvec."""
+    from lanczosplusplus_tpu.parallel.halo import KronHaloPlan
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:ndev])
+    plan = KronHaloPlan(ham, ndev)
+    assert plan.halo_fraction < 1.0
+    sham = plan.hamiltonian(mesh)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(ham.dim)
+    xp = np.concatenate([x, np.zeros(plan.dim - ham.dim)])
+    xs = pmesh.sharded_vector(xp, mesh)
+    y = np.asarray(jax.jit(lambda h, v: h.matvec(v))(sham, xs))
+    expect = np.asarray(ham.matvec(x))
+    np.testing.assert_allclose(y[:ham.dim], expect, atol=1e-10)
+
+
+def test_kron_halo_lowest_states_matches():
+    """halo_lowest_states dispatches factorized Hamiltonians to the
+    Kronecker halo and still matches the single-device solve."""
+    from lanczosplusplus_tpu.parallel.halo import halo_lowest_states
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    evals_h, vecs_h = halo_lowest_states(ham, mesh, max_steps=120)
+    evals_s, vecs_s = lz.lowest_states(ham, max_steps=120)
+    assert evals_h[0] == pytest.approx(evals_s[0], abs=1e-9)
+    ov = abs(np.vdot(vecs_h[0], np.asarray(vecs_s[0])))
+    assert ov == pytest.approx(1.0, abs=1e-7)

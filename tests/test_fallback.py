@@ -1,0 +1,71 @@
+"""Failure-triggered dense fallback + convergence reporting
+(reference: src/Engine/Engine.h:624-639 catches the Lanczos throw and
+full-diagonalizes the sector)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lanczosplusplus_tpu.core.sparse import (EllPart, Hamiltonian,
+                                             coo_to_ell)
+from lanczosplusplus_tpu.solver import lanczos as lz
+
+
+def _random_sparse_ham(dim=300, seed=5):
+    rng = np.random.default_rng(seed)
+    nnz = dim * 4
+    r = rng.integers(0, dim, nnz)
+    c = rng.integers(0, dim, nnz)
+    v = rng.normal(size=nnz)
+    rows = np.concatenate([r, c])
+    cols = np.concatenate([c, r])
+    vals = np.concatenate([v, v])  # symmetric
+    ell_cols, ell_vals = coo_to_ell(dim, rows, cols, vals)
+    diag = rng.normal(size=dim)
+    return Hamiltonian(diag=jnp.asarray(diag),
+                       ell=EllPart(cols=jnp.asarray(ell_cols),
+                                   vals=jnp.asarray(ell_vals)),
+                       factorized=None, spin_shape=None), diag
+
+
+def test_unconverged_lanczos_falls_back_to_dense():
+    ham, _ = _random_sparse_ham()
+    # max_steps=2 (extends only to 8) cannot converge to 1e-10 on a
+    # dim-300 random matrix: the dense fullDiag fallback must engage
+    evals, vecs, info = lz.lowest_states(ham, num_states=2, max_steps=2,
+                                         tol=1e-10, return_info=True)
+    assert info.used_dense_fallback
+    assert info.converged
+    dense = ham.to_dense()
+    exact = np.linalg.eigh(dense)[0]
+    np.testing.assert_allclose(np.asarray(evals), exact[:2], atol=1e-10)
+    # fallback eigenvectors are exact
+    v0 = np.asarray(vecs[0])
+    resid = np.linalg.norm(dense @ v0 - evals[0] * v0)
+    assert resid < 1e-8
+
+
+def test_unconverged_without_fallback_reports_flag():
+    ham, _ = _random_sparse_ham()
+    evals, vecs, info = lz.lowest_states(
+        ham, num_states=1, max_steps=2, tol=1e-10, return_info=True,
+        dense_fallback_dim=0)
+    assert not info.converged
+    assert info.residual > 0
+
+
+def test_unconverged_strict_raises():
+    ham, _ = _random_sparse_ham()
+    with pytest.raises(RuntimeError, match="residual"):
+        lz.lowest_states(ham, num_states=1, max_steps=2, tol=1e-10,
+                         dense_fallback_dim=0, strict=True)
+
+
+def test_converged_solve_reports_converged():
+    ham, _ = _random_sparse_ham(dim=200)
+    evals, vecs, info = lz.lowest_states(ham, num_states=1,
+                                         max_steps=200, return_info=True)
+    assert info.converged
+    assert not info.used_dense_fallback
+    exact = np.linalg.eigh(ham.to_dense())[0]
+    np.testing.assert_allclose(float(evals[0]), exact[0], atol=1e-9)
