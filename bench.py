@@ -67,13 +67,13 @@ if __name__ == "__main__" and "--inner" not in sys.argv:
                    not env.get("LPP_BENCH_FORCE_CPU"))
     if want_device:
         if _device_backend_healthy():
-            line = _run_inner(env, 480)
+            line = _run_inner(env, 1200)
         else:
             print("bench: accelerator probe failed", file=sys.stderr)
     if line is None:
         print("bench: falling back to CPU", file=sys.stderr)
         env["LPP_BENCH_FORCE_CPU"] = "1"
-        line = _run_inner(env, 480)
+        line = _run_inner(env, 1200)
     if line is None:
         line = json.dumps({
             "metric": "hubbard_sector_spmv_nnz_per_s", "value": 0.0,
@@ -93,7 +93,7 @@ if os.environ.get("LPP_BENCH_FORCE_CPU"):
 import jax.numpy as jnp
 
 
-def build_hamiltonian(nsite, dtype=np.float32):
+def build_hamiltonian(nsite, dtype=np.float32, u=4):
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
     from lanczosplusplus_tpu.models import build_model
@@ -106,7 +106,7 @@ GeometryKind=chain
 GeometryOptions=ConstantValues
 Connectors 1 -1.0
 Model=HubbardOneBand
-hubbardU {nsite} {" ".join(["4"] * nsite)}
+hubbardU {nsite} {" ".join([str(u)] * nsite)}
 potentialV {2 * nsite} {" ".join(["0"] * 2 * nsite)}
 SolverOptions=none
 TargetElectronsUp={nsite // 2}
@@ -118,6 +118,31 @@ IsPeriodicX=1
     model = build_model(inp, geom)
     basis = model.create_basis((nsite // 2, nsite // 2))
     return model.hamiltonian(basis, dtype=dtype), basis
+
+
+def build_tj_factored(nsite, nup, ndn, dtype=np.float32):
+    """Block-factorized t-J chain sector (no flat basis needed)."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.tj_factored import \
+        build_factored_tj_blocks
+
+    term = """DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {v}
+"""
+    text = (f"TotalNumberOfSites={nsite}\nNumberOfTerms=4\n"
+            + term.format(v=-1.0) + term.format(v=0.3)
+            + term.format(v=0.3) + term.format(v=0.0)
+            + f"Model=TjMultiOrb\nOrbitals=1\nSolverOptions=none\n"
+              f"TargetElectronsUp={nup}\nTargetElectronsDown={ndn}\n"
+              "IsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    bk, *_ = build_factored_tj_blocks(model, nup, ndn, dtype=dtype)
+    return bk
 
 
 def main():
@@ -240,6 +265,75 @@ def main():
     _ = float(b[-1])
     lanczos_iter_s_sel_bf16 = 32 / (time.perf_counter() - t0)
 
+    # free the Krylov-basis buffers of the sections above before the
+    # df64/t-J sections allocate theirs (the 64-deep f32+bf16 bases
+    # hold ~9 GB of HBM; keeping them alive OOMs the chip)
+    import gc
+    del V, v, Vb, vb, Vs, st, Vsb, stb, ham16, y
+    gc.collect()
+
+    # -- t-J sector via the half-cut block factorization --------------
+    # (the reference-capability model whose flat path is the generic
+    # gather-ELL; the factored form runs the hot loop as MXU GEMMs)
+    tj_nsite = 18 if platform != "cpu" else 8
+    tj_fill = tj_nsite // 2 - 1
+    tj_ham = build_tj_factored(tj_nsite, tj_fill, tj_fill)
+    xt = jax.random.normal(key, (tj_ham.dim,), jnp.float32)
+    xt = xt / jnp.linalg.norm(xt)
+    yt = matvec(tj_ham, xt)
+    yt.block_until_ready()
+    _ = float(yt[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        xt = matvec(tj_ham, xt)
+    xt.block_until_ready()
+    _ = float(xt[0])
+    dt_tj = (time.perf_counter() - t0) / iters
+    tj_nnz = tj_ham.nnz
+
+    # -- df64 refined-energy accuracy vs exact oracles ----------------
+    # (f32 solve + on-chip double-float Rayleigh quotient; the
+    # reference is double everywhere, LanczosDriver.h:29-33)
+    from lanczosplusplus_tpu.solver.lanczos import lowest_states
+    ham_u0 = build_hamiltonian(nsite, u=0)[0].densify_factors()
+    # cap the stored Krylov basis (the 11.8M-dim V at 128 steps is
+    # ~6 GB; step-doubling past that would exhaust HBM)
+    e_u0, _ = lowest_states(ham_u0, max_steps=128,
+                            krylov_budget_bytes=7 << 30)
+    ks = 2.0 * np.pi * np.arange(nsite) / nsite
+    eps = np.sort(-2.0 * np.cos(ks))
+    e_exact = 2.0 * eps[:nsite // 2].sum()
+    u0_rel_err = abs(float(e_u0[0]) - e_exact) / abs(e_exact)
+
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    heis_n = 12
+    heis_text = f"""
+TotalNumberOfSites={heis_n}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst={heis_n // 2}
+SolverOptions=none
+IsPeriodicX=1
+"""
+    hinp = parse_input(heis_text)
+    hmodel = build_model(hinp, Geometry(hinp))
+    hham = hmodel.hamiltonian(hmodel.create_basis(
+        hmodel.default_parts(hinp)), dtype=np.float32)
+    e_h, _ = lowest_states(hham, max_steps=200)
+    heis_exact = -5.387390917445  # Bethe ansatz, N=12 PBC
+    heis_rel_err = abs(float(e_h[0]) - heis_exact) / abs(heis_exact)
+
     # bytes moved per matvec: index + value per nnz (int32 + f32 for the
     # factorized maps are amortized over the Kronecker batch, but each
     # gathered x element is a real read) + vector reads/writes
@@ -280,6 +374,14 @@ def main():
             "lanczos_iters_per_s_bf16V": round(lanczos_iter_s_bf16, 2),
             "lanczos_iters_per_s_selective_bf16V":
                 round(lanczos_iter_s_sel_bf16, 2),
+            "tj_nsite": tj_nsite,
+            "tj_dim": tj_ham.dim,
+            "tj_nnz": tj_nnz,
+            "tj_ms_per_matvec": round(dt_tj * 1e3, 3),
+            "tj_factored_gnnz_per_s": round(tj_nnz / dt_tj / 1e9, 1),
+            "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
+            "e0_heisenberg12_refined_rel_err":
+                float(f"{heis_rel_err:.3g}"),
         },
     }))
 

@@ -1,0 +1,89 @@
+"""Translation symmetry at ~1e6-dim (VERDICT round-1 item 9).
+
+14-site half-periodic Hubbard chain, (4, 4) sector: dim 1 002 001.
+The row-restricted momentum-block construction (symmetry/blocks.py)
+never materializes the full-sector CSR; all 14 k-blocks (~72k dim
+each) are built and solved, and min_k E0(k) must equal the
+unsymmetrized sector ground energy.
+
+Usage: JAX_PLATFORMS=cpu PYTHONPATH=. python benchmarks/translation_sym.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+
+def main():
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.symmetry import TranslationSymmetry
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    nsite = 14
+    text = f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU {nsite} {" ".join(["4"] * nsite)}
+potentialV {2 * nsite} {" ".join(["0"] * 2 * nsite)}
+SolverOptions=none
+TargetElectronsUp=4
+TargetElectronsDown=4
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((4, 4))
+    print(f"sector dim = {basis.size}")
+    ham = model.hamiltonian(basis)
+    t0 = time.perf_counter()
+    e_plain, _ = lz.lowest_states(ham, max_steps=200)
+    t_plain = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sym = TranslationSymmetry(basis, geom, model)
+    t_build = time.perf_counter() - t0
+    best = None
+    t0 = time.perf_counter()
+    block_dims = []
+    for s in range(sym.sectors()):
+        blk = sym.block_hamiltonian(s)
+        if blk is None:
+            continue
+        block_dims.append(blk.dim)
+        ev, _ = lz.lowest_states(blk, max_steps=200)
+        e = float(ev[0])
+        best = e if best is None else min(best, e)
+    t_blocks = time.perf_counter() - t0
+    print(json.dumps({
+        "dim": basis.size,
+        "e0_plain": float(e_plain[0]),
+        "e0_sym": best,
+        "match": bool(abs(best - float(e_plain[0])) < 1e-7),
+        "sym_build_s": round(t_build, 2),
+        "blocks_total_solve_s": round(t_blocks, 2),
+        "plain_solve_s": round(t_plain, 2),
+        "block_dims": block_dims,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,9 @@ class Engine:
                           not use_symmetry and
                           ((getattr(model, "twice_s", None) == 1 and
                             type(model).__name__ == "HeisenbergModel") or
-                           type(model).__name__ == "KitaevModel"))
+                           type(model).__name__ in ("KitaevModel",
+                                                    "RashbaSOCModel",
+                                                    "TjMultiOrbModel")))
         use_factored = self._factored
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):
@@ -203,8 +205,10 @@ class Engine:
         if not hasattr(self, "_dense_ham_cache"):
             self._dense_ham_cache = {}
         if parts not in self._dense_ham_cache:
-            self._dense_ham_cache[parts] = \
-                self._cached_hamiltonian(parts).densify_factors()
+            h = self._cached_hamiltonian(parts)
+            if hasattr(h, "densify_factors"):
+                h = h.densify_factors()
+            self._dense_ham_cache[parts] = h
         return self._dense_ham_cache[parts]
 
     # -- operator application across sectors ------------------------------
@@ -595,9 +599,57 @@ class Engine:
 
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
+    def _batched_modified_states(self, op, dst_basis, vec, spin, orb):
+        """(valid_sites, Z): Z[k] = (dressed) op_site |vec> for every
+        valid site, built as ONE device scatter-add — the batched
+        accModifiedState_ (reference loops sites serially,
+        Engine.h:416-458).  Z lands on the default device so the n^2
+        pair overlaps can run as a single GEMM."""
+        import jax
+
+        n = self.geometry.number_of_sites()
+        x64 = jax.config.read("jax_enable_x64")
+        cplx = np.iscomplexobj(vec)
+        dtype = (np.complex128 if x64 else np.complex64) if cplx else \
+            (np.float64 if x64 else np.float32)
+        rows_l, tgt_l, contrib_l = [], [], []
+        valid = []
+        src = np.asarray(vec)
+        for site in range(n):
+            if orb >= self.model.orbitals(site):
+                continue
+            k = len(valid)
+            valid.append(site)
+            if op.name == ops.SZ:
+                # sz -> 0.5 n_up - 0.5 n_down (Engine.h:537-599)
+                parts_ = [(LabeledOperator(ops.N), 0, 0.5),
+                          (LabeledOperator(ops.N), 1, -0.5)]
+            else:
+                parts_ = [(op, spin, 1.0)]
+            for (op_k, spin_k, factor) in parts_:
+                tgt, amp, _ = self.model.operator_map(
+                    op_k, site, spin_k, orb, self.basis, dst_basis)
+                mask = tgt >= 0
+                rows_l.append(np.full(mask.sum(), k, np.int32))
+                tgt_l.append(tgt[mask].astype(np.int32))
+                contrib_l.append((factor * amp[mask] * src[mask]
+                                  ).astype(dtype))
+        if not valid:
+            return [], None
+        rows = jnp.asarray(np.concatenate(rows_l))
+        tgts = jnp.asarray(np.concatenate(tgt_l))
+        contribs = jnp.asarray(np.concatenate(contrib_l))
+        Z = jnp.zeros((len(valid), dst_basis.size), dtype)
+        Z = Z.at[rows, tgts].add(contribs)
+        return valid, Z
+
     def two_point(self, op_name: str, spin=(0, 0), orbs=(0, 0),
                   bra_ket=(0, 0)):
-        """C(i, j) = <bra| op^dag_j op_i |ket> for all site pairs."""
+        """C(i, j) = <bra| op^dag_j op_i |ket> for all site pairs.
+
+        All modified states build as one batched device scatter and the
+        full pair matrix is ONE GEMM <Z_bra | Z_ket^T> on the MXU
+        (reference: Engine.h:266-338 loops pairs serially)."""
         op = LabeledOperator(op_name)
         n = self.geometry.number_of_sites()
         if op.needs_new_basis:
@@ -613,28 +665,18 @@ class Engine:
             basis_new = self.basis
         bra = np.asarray(self.eigenvector(bra_ket[0]))
         ket = np.asarray(self.eigenvector(bra_ket[1]))
+        valid_i, Z_ket = self._batched_modified_states(
+            op, basis_new, ket, spin[0], orbs[0])
+        valid_j, Z_bra = self._batched_modified_states(
+            op, basis_new, bra, spin[1], orbs[1])
         result = np.full((n, n), np.nan, dtype=np.complex128)
-        mods_ket = []
-        for isite in range(n):
-            if orbs[0] >= self.model.orbitals(isite):
-                mods_ket.append(None)
-                continue
-            z = np.zeros(basis_new.size, dtype=np.complex128)
-            self._acc_modified_state_dressed(
-                z, op, basis_new, ket, self.basis, isite, spin[0],
-                orbs[0], 1.0)
-            mods_ket.append(z)
-        for jsite in range(n):
-            if orbs[1] >= self.model.orbitals(jsite):
-                continue
-            z2 = np.zeros(basis_new.size, dtype=np.complex128)
-            self._acc_modified_state_dressed(
-                z2, op, basis_new, bra, self.basis, jsite, spin[1],
-                orbs[1], 1.0)
-            for isite in range(n):
-                if mods_ket[isite] is None:
-                    continue
-                result[isite, jsite] = np.vdot(z2, mods_ket[isite])
+        if Z_ket is None or Z_bra is None:
+            return result
+        # result[i, j] = <z_bra_j | z_ket_i>
+        block = np.asarray(Z_ket @ jnp.conj(Z_bra).T)
+        for a, isite in enumerate(valid_i):
+            for b, jsite in enumerate(valid_j):
+                result[isite, jsite] = block[a, b]
         return result
 
     # -- many-point fixed-site correlator (reference: Engine.h:341-389) ---

@@ -131,6 +131,11 @@ class InputData:
 
 
 def parse_input(text: str) -> InputData:
+    # Ainur-format inputs (##Ainur header) route to the Ainur subset
+    # parser; everything else is the legacy label format
+    if text.lstrip()[:7] == "##Ainur":
+        from lanczosplusplus_tpu.io_.ainur import parse_ainur
+        return parse_ainur(text)
     # strip comments
     lines = []
     for ln in text.splitlines():
@@ -140,6 +145,7 @@ def parse_input(text: str) -> InputData:
 
     data = InputData()
     dof_per_term = []  # DegreesOfFreedom occurrences seen so far
+    kind_per_term = []  # GeometryKind occurrences
     n_connectors_seen = 0
 
     def push(label, value):
@@ -155,6 +161,8 @@ def parse_input(text: str) -> InputData:
             push(label, value)
             if label == "DegreesOfFreedom":
                 dof_per_term.append(int(value))
+            elif label == "GeometryKind":
+                kind_per_term.append(str(value).lower())
             i += 1
             continue
         label = tok
@@ -179,8 +187,12 @@ def parse_input(text: str) -> InputData:
         if label == "Connectors":
             dof = dof_per_term[n_connectors_seen] \
                 if n_connectors_seen < len(dof_per_term) else 1
+            kind = kind_per_term[n_connectors_seen] \
+                if n_connectors_seen < len(kind_per_term) else ""
             n_connectors_seen += 1
-            is_matrix = dof > 1
+            # longrange/raw connectors are n x n matrices even at one
+            # degree of freedom
+            is_matrix = dof > 1 or kind in ("longrange", "raw")
 
         if label in _ROWS3_LABELS:
             vals = [_to_num(toks[i + k]) for k in range(3 * n1)]

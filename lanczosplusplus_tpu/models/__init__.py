@@ -18,4 +18,10 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
         fact = FactoredHeisenbergChain(model, nsite, parts[1],
                                        dtype=dtype)
         return fact.flat_ham(basis)
+    if name == "RashbaSOCModel":
+        return model.block_kron_hamiltonian(basis, dtype=dtype)
+    if name == "TjMultiOrbModel":
+        from lanczosplusplus_tpu.models.tj_factored import \
+            build_factored_tj
+        return build_factored_tj(model, basis, dtype=dtype)
     return None

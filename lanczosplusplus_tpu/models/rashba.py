@@ -203,7 +203,15 @@ class RashbaSOCModel:
                                      0)
                     tgt = off2 + tgt_d[None, :] + tgt_u[:, None] * dn2.size
                     ok2 = oku[:, None] & okd[None, :]
-                    amp = np.conj(r) * (s_u * s_n)[:, None] * s_d[None, :]
+                    # the reference conjugates hr here
+                    # (HubbardHelper.h:274), which breaks hermiticity
+                    # for its own HERMITIAN connector matrices
+                    # (geometry stores rashba[j,i] = conj(rashba[i,j])):
+                    # the h.c. of branch A's r_ij c^dag_ju c_id arrives
+                    # from bond (j,i) through this branch and needs
+                    # amp = r_ij = conj(r_ji).  Same deliberate-fix
+                    # family as the (-1)^(n_up-1) crossing sign above.
+                    amp = r * (s_u * s_n)[:, None] * s_d[None, :]
                     cols_blk[:, :, slot] = np.where(
                         ok2, tgt, off + idn[None, :] + iu[:, None] * szd)
                     vals_blk[:, :, slot] = np.where(ok2, amp, 0)
@@ -215,6 +223,119 @@ class RashbaSOCModel:
                       vals=jnp.asarray(vals))
         return Hamiltonian(diag=jnp.asarray(diag.astype(dtype)),
                            ell=ell, factorized=None, spin_shape=None)
+
+    def block_kron_hamiltonian(self, basis: RashbaBasis,
+                               dtype=np.float64):
+        """The same Hamiltonian in block-Kronecker form: per-(nup,
+        ndown)-block dense one-spin hop factors (MXU GEMMs) plus the
+        Rashba spin flips as rectangular (c-map (x) c-map) Kronecker
+        couplings between adjacent blocks — every hot op a GEMM, versus
+        the 3x-slower whole-dim gather of the flat ELL.  Flat ordering
+        is identical to `hamiltonian` (block offset + idn + iu * szd),
+        verified elementwise by tests/test_rashba.py."""
+        from lanczosplusplus_tpu.core.blockkron import (
+            BlockKronHamiltonian, CrossTerm)
+
+        n = self.geometry.number_of_sites()
+        u = self.params.hubbard_u
+        v = self.params.potential_v
+        bonds = directed_bonds(self.hoppings)
+        rbonds = directed_bonds(self.rashba)
+        cplx = np.iscomplexobj(np.zeros(0, dtype))
+
+        def hop_dense(one_spin):
+            """Dense one-spin hop operator A[row, col]: y[r] += A x."""
+            sz = one_spin.size
+            a = np.zeros((sz, sz),
+                         dtype=np.complex128 if cplx else np.float64)
+            rows = np.arange(sz, dtype=np.int64)
+            for (i, j, t) in bonds:
+                occ_i = bits.get_bit(one_spin.words, i)
+                occ_j = bits.get_bit(one_spin.words, j)
+                ok = (occ_i == 1) & (occ_j == 0)
+                mid = bits.flip_bit(one_spin.words, i)
+                sgn = bits.parity_sign_below(one_spin.words, i) * \
+                    bits.parity_sign_below(mid, j)
+                tgt = one_spin.rank(bits.flip_bit(mid, j))
+                np.add.at(a, (rows[ok], tgt[ok]), (t * sgn)[ok])
+            return a
+
+        block_pos = {}
+        shapes, diags, row_ops, col_ops = [], [], [], []
+        for ndown in range(basis.ne + 1):
+            blk = basis.block(ndown)
+            if blk is None:
+                continue
+            up, dn, off = blk
+            block_pos[ndown] = len(shapes)
+            szu, szd = up.size, dn.size
+            shapes.append((szu, szd))
+            nu = up.occupation_table().astype(np.float64)
+            nd = dn.occupation_table().astype(np.float64)
+            d2 = (nu * u[None, :]) @ nd.T
+            d2 = d2 + (nu @ v)[:, None] + (nd @ v)[None, :]
+            diags.append(jnp.asarray(d2.astype(dtype)))
+            row_ops.append(jnp.asarray(hop_dense(up).astype(dtype)))
+            col_ops.append(jnp.asarray(hop_dense(dn).astype(dtype)))
+
+        cross = []
+        nb = len(rbonds)
+        for ndown, pos in block_pos.items():
+            up, dn, _ = basis.block(ndown)
+            szu, szd = up.size, dn.size
+            # ELL convention: y rows of THIS block receive from the
+            # neighbour block's columns (H[this, other] = amp), so the
+            # cross term's dst is this block and src the neighbour.
+            # c^dag_j_up c_i_down branch: columns in ndown - 1
+            if ndown - 1 in block_pos:
+                up2, dn2, _ = basis.block(ndown - 1)
+                L = np.zeros((nb, szu, up2.size),
+                             dtype=np.complex128 if cplx else np.float64)
+                R = np.zeros((nb, szd, dn2.size), dtype=L.dtype)
+                for bidx, (i, j, r) in enumerate(rbonds):
+                    oku = bits.get_bit(up.words, j) == 0
+                    okd = bits.get_bit(dn.words, i) == 1
+                    s_u = bits.parity_sign_below(up.words, j)
+                    s_d = bits.parity_sign_below(dn.words, i)
+                    s_n = np.where(bits.popcount(up.words) & 1, -1, 1)
+                    tgt_u = up2.rank(bits.flip_bit(up.words, j))
+                    tgt_d = dn2.rank(bits.flip_bit(dn.words, i))
+                    iu = np.arange(szu)[oku]
+                    idn = np.arange(szd)[okd]
+                    L[bidx, iu, tgt_u[oku]] = (r * s_u * s_n)[oku]
+                    R[bidx, idn, tgt_d[okd]] = s_d[okd]
+                cross.append(CrossTerm(
+                    left=jnp.asarray(L.astype(dtype)),
+                    right=jnp.asarray(R.astype(dtype)),
+                    src=block_pos[ndown - 1], dst=pos, add_hc=False))
+            # c^dag_j_down c_i_up branch: columns in ndown + 1
+            if ndown + 1 in block_pos:
+                up2, dn2, _ = basis.block(ndown + 1)
+                L = np.zeros((nb, szu, up2.size),
+                             dtype=np.complex128 if cplx else np.float64)
+                R = np.zeros((nb, szd, dn2.size), dtype=L.dtype)
+                for bidx, (i, j, r) in enumerate(rbonds):
+                    oku = bits.get_bit(up.words, i) == 1
+                    okd = bits.get_bit(dn.words, j) == 0
+                    s_u = bits.parity_sign_below(up.words, i)
+                    s_d = bits.parity_sign_below(dn.words, j)
+                    # (-1)^(n_up - 1) crossing sign; see the
+                    # hermiticity note in `hamiltonian`
+                    s_n = np.where(bits.popcount(up.words) & 1, 1, -1)
+                    tgt_u = up2.rank(bits.flip_bit(up.words, i))
+                    tgt_d = dn2.rank(bits.flip_bit(dn.words, j))
+                    iu = np.arange(szu)[oku]
+                    idn = np.arange(szd)[okd]
+                    L[bidx, iu, tgt_u[oku]] = (r * s_u * s_n)[oku]
+                    R[bidx, idn, tgt_d[okd]] = s_d[okd]
+                cross.append(CrossTerm(
+                    left=jnp.asarray(L.astype(dtype)),
+                    right=jnp.asarray(R.astype(dtype)),
+                    src=block_pos[ndown + 1], dst=pos, add_hc=False))
+        return BlockKronHamiltonian(
+            diag=tuple(diags), row_ops=tuple(row_ops),
+            col_ops=tuple(col_ops), cross=tuple(cross),
+            shapes=tuple(shapes))
 
     def operator_map(self, op, site, spin, orb, src_basis, dst_basis):
         """n and sz (diagonal) only, consistent with the reference's

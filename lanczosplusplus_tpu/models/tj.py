@@ -47,18 +47,33 @@ class TjBasis:
         self.orbitals = orbitals
         nbits = nsite * orbitals
         self.nbits = nbits
-        ups = enumerate_combinations(nbits, nup)
+        # O(dim) construction (never the O(C(n,nup) * C(n,ndn)) pair
+        # mask): for each down word, the allowed up words are all
+        # nup-subsets of its complement, deposited into the free bit
+        # positions.  The order-preserving deposit keeps up words
+        # ascending within each dn block, and dn blocks are ascending,
+        # so the combined key array comes out sorted — no argsort.
         dns = enumerate_combinations(nbits, ndown)
-        # pairs with no shared bit
-        mask = (ups[None, :] & dns[:, None]) == 0
-        dn_idx, up_idx = np.nonzero(mask)
-        up_w = ups[up_idx]
-        dn_w = dns[dn_idx]
-        key = (dn_w.astype(np.uint64) << WORD(nbits)) | up_w
-        order = np.argsort(key)
-        self.key = key[order]
-        self.up_words = up_w[order]
-        self.dn_words = dn_w[order]
+        nf = nbits - ndown
+        if nup > nf:
+            self.key = np.zeros(0, dtype=WORD)
+            self.up_words = np.zeros(0, dtype=WORD)
+            self.dn_words = np.zeros(0, dtype=WORD)
+            return
+        patterns = enumerate_combinations(nf, nup)
+        occ = bits.bits_to_table(dns, nbits)               # (D, nbits)
+        d = dns.shape[0]
+        free_pos = (np.nonzero(1 - occ)[1].reshape(d, nf)
+                    if nf else np.zeros((d, 0), dtype=np.int64))
+        p = patterns.shape[0]
+        up = np.zeros((d, p), dtype=WORD)
+        for j in range(nf):
+            bit = ((patterns >> WORD(j)) & WORD(1))[None, :]
+            up |= bit << free_pos[:, j:j + 1].astype(WORD)
+        self.up_words = up.reshape(-1)
+        self.dn_words = np.repeat(dns, p)
+        self.key = (self.dn_words.astype(np.uint64) << WORD(nbits)) \
+            | self.up_words
 
     @property
     def parts(self):

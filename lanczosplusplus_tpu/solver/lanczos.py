@@ -510,12 +510,29 @@ def _dense_solve(ham, num_states: int):
     return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
 
 
+def _maybe_refine(ham, evals, vecs):
+    """df64 Rayleigh refinement of f32 energies: the quadratic form on
+    the f32 Ritz vector, evaluated in emulated double, carries only
+    the QUADRATIC eigenvector error (~1e-12 relative) — the f64 story
+    on a chip without f64 (reference bar: LanczosDriver.h:29-33)."""
+    if jnp.dtype(getattr(ham, "dtype", np.float64)) != jnp.float32:
+        return evals
+    if not (hasattr(ham, "diag") and hasattr(ham, "ell")):
+        return evals  # factored/block forms: gather maps unavailable
+    try:
+        from lanczosplusplus_tpu.ops.df64 import refined_energy
+        return np.array([refined_energy(ham, np.asarray(v))
+                         for v in vecs])
+    except NotImplementedError:
+        return evals
+
+
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
                   max_steps: int = 200, tol: float = 1e-10,
                   krylov_budget_bytes: int = 6 << 30,
                   reorth="selective", return_info: bool = False,
                   dense_fallback_dim: int = 8192,
-                  strict: bool = False):
+                  strict: bool = False, refine: bool = True):
     """Lowest `num_states` eigenpairs of a sector Hamiltonian.
 
     Equivalent to LanczosSolver::computeAllStatesBelow as driven by
@@ -545,6 +562,8 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     if min(dim, max_steps) * dim * itemsize > krylov_budget_bytes:
         evals, vecs = lowest_states_plain(
             ham, num_states=num_states, seed=seed, max_steps=max_steps)
+        if refine:
+            evals = _maybe_refine(ham, evals, vecs)
         # the plain path has no stored basis to estimate a residual
         # from; extremal Ritz values converge first (standard theory)
         return ret(evals, vecs, SolveInfo(True, float("nan"),
@@ -567,7 +586,11 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
                          resid <= tol * scale)
         if converged or steps >= 4 * max_steps:
             break
-        steps = int(min(dim, steps * 2))  # not converged: extend
+        # not converged: extend, but never past the Krylov-basis
+        # memory budget (the stored V doubles with the steps)
+        if 2 * steps * dim * itemsize > krylov_budget_bytes:
+            break
+        steps = int(min(dim, steps * 2))
     if not converged:
         if dim <= dense_fallback_dim and hasattr(ham, "to_dense"):
             evals, vecs = _dense_solve(ham, num_states)
@@ -584,5 +607,8 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     # normalize (Ritz vectors are orthonormal up to reorth tolerance)
     norms = jnp.linalg.norm(vecs, axis=1, keepdims=True)
     vecs = vecs / norms
-    return ret(evals[:k], vecs,
+    evals = evals[:k]
+    if refine:
+        evals = _maybe_refine(ham, evals, vecs)
+    return ret(evals, vecs,
                SolveInfo(converged, resid / scale, steps))

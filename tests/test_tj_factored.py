@@ -1,0 +1,95 @@
+"""Half-cut block-factorized t-J solver vs the flat ELL path
+(which is itself oracle-tested against brute-force second quantization
+in tests/test_tj.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lanczosplusplus_tpu.io_.input_parser import parse_input
+from lanczosplusplus_tpu.geometry import Geometry
+from lanczosplusplus_tpu.models import build_model
+from lanczosplusplus_tpu.models.tj_factored import build_factored_tj
+from lanczosplusplus_tpu.solver import lanczos as lz
+
+
+def tj_input(nsite, nup, ndn, t=1.0, jpm=0.7, jzz=0.4, w=0.3,
+             periodic=1, potentials=False):
+    def term(val):
+        return f"""DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {val}
+"""
+    pv = ""
+    if potentials:
+        vals = [f"{0.1 * (i + 1):.2f}" for i in range(2 * nsite)]
+        pv = f"potentialV {2 * nsite} {' '.join(vals)}\n"
+    return f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=4
+{term(t)}{term(jpm)}{term(jzz)}{term(w)}Model=TjMultiOrb
+Orbitals=1
+{pv}SolverOptions=none
+TargetElectronsUp={nup}
+TargetElectronsDown={ndn}
+IsPeriodicX={periodic}
+"""
+
+
+@pytest.mark.parametrize("nsite,nup,ndn,periodic", [
+    (6, 2, 2, 1),
+    (6, 3, 2, 0),
+    (7, 3, 3, 1),
+    (6, 2, 3, 1),
+    (5, 2, 1, 0),
+])
+def test_factored_matches_flat_dense(nsite, nup, ndn, periodic):
+    inp = parse_input(tj_input(nsite, nup, ndn, periodic=periodic,
+                               potentials=True))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((nup, ndn))
+    flat = model.hamiltonian(basis).to_dense()
+    fact = build_factored_tj(model, basis)
+    assert fact.dim == basis.size
+    dense = fact.to_dense()
+    np.testing.assert_allclose(dense, flat, atol=1e-12)
+
+
+def test_factored_ground_state_and_batched():
+    inp = parse_input(tj_input(8, 3, 3))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((3, 3))
+    flat = model.hamiltonian(basis)
+    fact = build_factored_tj(model, basis)
+    e_flat, _ = lz.lowest_states(flat, max_steps=150)
+    e_fact, v_fact = lz.lowest_states(fact, max_steps=150)
+    assert e_fact[0] == pytest.approx(e_flat[0], abs=1e-9)
+    # residual in the flat Hamiltonian (orders must agree)
+    v0 = np.asarray(v_fact[0])
+    resid = np.linalg.norm(np.asarray(flat.matvec(jnp.asarray(v0)))
+                           - float(e_fact[0]) * v0)
+    assert resid < 1e-7
+    # batch-major SpMM equals per-vector matvec
+    rng = np.random.default_rng(2)
+    xk = rng.standard_normal((3, fact.dim))
+    y1 = np.asarray(fact.matmat_t(jnp.asarray(xk)))
+    y2 = np.stack([np.asarray(fact.matvec(jnp.asarray(xk[i])))
+                   for i in range(3)])
+    np.testing.assert_allclose(y1, y2, atol=1e-10)
+
+
+def test_factored_nnz_counts_cross_terms():
+    inp = parse_input(tj_input(6, 2, 2))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((2, 2))
+    fact = build_factored_tj(model, basis)
+    assert fact.nnz > fact.dim  # diagonal plus couplings
+
+
+def test_factored_out_of_scope_returns_none():
+    text = tj_input(6, 2, 2).replace("Orbitals=1", "Orbitals=2")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((2, 2))
+    assert build_factored_tj(model, basis) is None
