@@ -145,6 +145,29 @@ Connectors 1 {v}
     return bk
 
 
+def build_rashba_blockkron(nsite, ne, dtype=np.float32):
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+
+    term = """DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {v}
+"""
+    text = (f"TotalNumberOfSites={nsite}\nNumberOfTerms=2\n"
+            + term.format(v=-1.0) + term.format(v=0.5)
+            + "Model=HubbardOneBandRashbaSOC\n"
+            + f"hubbardU {nsite} {' '.join(['4'] * nsite)}\n"
+            + f"potentialV {2 * nsite} {' '.join(['0'] * 2 * nsite)}\n"
+            + "SolverOptions=none\n"
+            + f"TargetElectronsTotal={ne}\nIsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(("ne", ne))
+    return model.block_kron_hamiltonian(basis, dtype=dtype)
+
+
 def main():
     platform = jax.devices()[0].platform
     nsite = 14 if platform != "cpu" else 10
@@ -290,6 +313,31 @@ def main():
     _ = float(xt[0])
     dt_tj = (time.perf_counter() - t0) / iters
     tj_nnz = tj_ham.nnz
+    tj_dim = tj_ham.dim
+
+    # -- Rashba SOC sector in block-Kronecker form ---------------------
+    # (union basis over (nup, ndown); the flat path is whole-dim
+    # gather-ELL, the block form runs hops as per-block MXU GEMMs and
+    # the spin flips as partial-permutation gathers)
+    del tj_ham, xt, yt
+    gc.collect()
+    ra_nsite = 13 if platform != "cpu" else 6
+    ra_ham = build_rashba_blockkron(ra_nsite, ra_nsite)
+    xr = jax.random.normal(key, (ra_ham.dim,), jnp.float32)
+    xr = xr / jnp.linalg.norm(xr)
+    yr = matvec(ra_ham, xr)
+    yr.block_until_ready()
+    _ = float(yr[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        xr = matvec(ra_ham, xr)
+    xr.block_until_ready()
+    _ = float(xr[0])
+    dt_ra = (time.perf_counter() - t0) / iters
+    ra_nnz = ra_ham.nnz
+    ra_dim = ra_ham.dim
+    del ra_ham, xr, yr
+    gc.collect()
 
     # -- df64 refined-energy accuracy vs exact oracles ----------------
     # (f32 solve + on-chip double-float Rayleigh quotient; the
@@ -375,10 +423,16 @@ IsPeriodicX=1
             "lanczos_iters_per_s_selective_bf16V":
                 round(lanczos_iter_s_sel_bf16, 2),
             "tj_nsite": tj_nsite,
-            "tj_dim": tj_ham.dim,
+            "tj_dim": tj_dim,
             "tj_nnz": tj_nnz,
             "tj_ms_per_matvec": round(dt_tj * 1e3, 3),
             "tj_factored_gnnz_per_s": round(tj_nnz / dt_tj / 1e9, 1),
+            "rashba_nsite": ra_nsite,
+            "rashba_dim": ra_dim,
+            "rashba_nnz": ra_nnz,
+            "rashba_ms_per_matvec": round(dt_ra * 1e3, 3),
+            "rashba_blockkron_gnnz_per_s":
+                round(ra_nnz / dt_ra / 1e9, 1),
             "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
             "e0_heisenberg12_refined_rel_err":
                 float(f"{heis_rel_err:.3g}"),

@@ -234,7 +234,7 @@ class RashbaSOCModel:
         is identical to `hamiltonian` (block offset + idn + iu * szd),
         verified elementwise by tests/test_rashba.py."""
         from lanczosplusplus_tpu.core.blockkron import (
-            BlockKronHamiltonian, CrossTerm)
+            BlockKronHamiltonian, PermCrossTerm)
 
         n = self.geometry.number_of_sites()
         u = self.params.hubbard_u
@@ -286,12 +286,19 @@ class RashbaSOCModel:
             # ELL convention: y rows of THIS block receive from the
             # neighbour block's columns (H[this, other] = amp), so the
             # cross term's dst is this block and src the neighbour.
+            # The c-maps are partial permutations on each spin factor,
+            # so the couplings are PermCrossTerms (one row gather + one
+            # column gather per bond) — dense (nb, szu', szu) factors
+            # would cost nb batched GEMMs and O(nb szu^2) memory.
             # c^dag_j_up c_i_down branch: columns in ndown - 1
             if ndown - 1 in block_pos:
                 up2, dn2, _ = basis.block(ndown - 1)
-                L = np.zeros((nb, szu, up2.size),
-                             dtype=np.complex128 if cplx else np.float64)
-                R = np.zeros((nb, szd, dn2.size), dtype=L.dtype)
+                row_src = np.zeros((nb, szu), np.int32)
+                row_amp = np.zeros((nb, szu),
+                                   dtype=np.complex128 if cplx
+                                   else np.float64)
+                col_src = np.zeros((nb, szd), np.int32)
+                col_amp = np.zeros((nb, szd), dtype=row_amp.dtype)
                 for bidx, (i, j, r) in enumerate(rbonds):
                     oku = bits.get_bit(up.words, j) == 0
                     okd = bits.get_bit(dn.words, i) == 1
@@ -300,20 +307,25 @@ class RashbaSOCModel:
                     s_n = np.where(bits.popcount(up.words) & 1, -1, 1)
                     tgt_u = up2.rank(bits.flip_bit(up.words, j))
                     tgt_d = dn2.rank(bits.flip_bit(dn.words, i))
-                    iu = np.arange(szu)[oku]
-                    idn = np.arange(szd)[okd]
-                    L[bidx, iu, tgt_u[oku]] = (r * s_u * s_n)[oku]
-                    R[bidx, idn, tgt_d[okd]] = s_d[okd]
-                cross.append(CrossTerm(
-                    left=jnp.asarray(L.astype(dtype)),
-                    right=jnp.asarray(R.astype(dtype)),
-                    src=block_pos[ndown - 1], dst=pos, add_hc=False))
+                    row_src[bidx] = np.where(oku, tgt_u, 0)
+                    row_amp[bidx] = np.where(oku, r * s_u * s_n, 0)
+                    col_src[bidx] = np.where(okd, tgt_d, 0)
+                    col_amp[bidx] = np.where(okd, s_d, 0)
+                cross.append(PermCrossTerm(
+                    row_src=jnp.asarray(row_src),
+                    row_amp=jnp.asarray(row_amp.astype(dtype)),
+                    col_src=jnp.asarray(col_src),
+                    col_amp=jnp.asarray(col_amp.astype(dtype)),
+                    src=block_pos[ndown - 1], dst=pos))
             # c^dag_j_down c_i_up branch: columns in ndown + 1
             if ndown + 1 in block_pos:
                 up2, dn2, _ = basis.block(ndown + 1)
-                L = np.zeros((nb, szu, up2.size),
-                             dtype=np.complex128 if cplx else np.float64)
-                R = np.zeros((nb, szd, dn2.size), dtype=L.dtype)
+                row_src = np.zeros((nb, szu), np.int32)
+                row_amp = np.zeros((nb, szu),
+                                   dtype=np.complex128 if cplx
+                                   else np.float64)
+                col_src = np.zeros((nb, szd), np.int32)
+                col_amp = np.zeros((nb, szd), dtype=row_amp.dtype)
                 for bidx, (i, j, r) in enumerate(rbonds):
                     oku = bits.get_bit(up.words, i) == 1
                     okd = bits.get_bit(dn.words, j) == 0
@@ -324,18 +336,20 @@ class RashbaSOCModel:
                     s_n = np.where(bits.popcount(up.words) & 1, 1, -1)
                     tgt_u = up2.rank(bits.flip_bit(up.words, i))
                     tgt_d = dn2.rank(bits.flip_bit(dn.words, j))
-                    iu = np.arange(szu)[oku]
-                    idn = np.arange(szd)[okd]
-                    L[bidx, iu, tgt_u[oku]] = (r * s_u * s_n)[oku]
-                    R[bidx, idn, tgt_d[okd]] = s_d[okd]
-                cross.append(CrossTerm(
-                    left=jnp.asarray(L.astype(dtype)),
-                    right=jnp.asarray(R.astype(dtype)),
-                    src=block_pos[ndown + 1], dst=pos, add_hc=False))
+                    row_src[bidx] = np.where(oku, tgt_u, 0)
+                    row_amp[bidx] = np.where(oku, r * s_u * s_n, 0)
+                    col_src[bidx] = np.where(okd, tgt_d, 0)
+                    col_amp[bidx] = np.where(okd, s_d, 0)
+                cross.append(PermCrossTerm(
+                    row_src=jnp.asarray(row_src),
+                    row_amp=jnp.asarray(row_amp.astype(dtype)),
+                    col_src=jnp.asarray(col_src),
+                    col_amp=jnp.asarray(col_amp.astype(dtype)),
+                    src=block_pos[ndown + 1], dst=pos))
         return BlockKronHamiltonian(
             diag=tuple(diags), row_ops=tuple(row_ops),
-            col_ops=tuple(col_ops), cross=tuple(cross),
-            shapes=tuple(shapes))
+            col_ops=tuple(col_ops), cross=(),
+            shapes=tuple(shapes), perm_cross=tuple(cross))
 
     def operator_map(self, op, site, spin, orb, src_basis, dst_basis):
         """n and sz (diagonal) only, consistent with the reference's

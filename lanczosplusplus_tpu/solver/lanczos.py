@@ -573,6 +573,7 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     steps = int(min(dim, max_steps))
     if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
         tol = max(tol, 1e-6)
+    restarts = 0
     while True:
         res = tridiagonalize(ham, v0, steps, reorth=reorth)
         evals, evecs = tridiag_eigh(res.alphas, res.betas)
@@ -587,9 +588,16 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         if converged or steps >= 4 * max_steps:
             break
         # not converged: extend, but never past the Krylov-basis
-        # memory budget (the stored V doubles with the steps)
+        # memory budget (the stored V doubles with the steps);
+        # at the budget, RESTART from the current Ritz vector instead
+        # (memory-bounded restarted Lanczos) — single-state only
         if 2 * steps * dim * itemsize > krylov_budget_bytes:
-            break
+            if num_states > 1 or restarts >= 8:
+                break
+            restarts += 1
+            v_r = ritz_vectors(res, evecs[:, :1])[0]
+            v0 = v_r / jnp.linalg.norm(v_r)
+            continue
         steps = int(min(dim, steps * 2))
     if not converged:
         if dim <= dense_fallback_dim and hasattr(ham, "to_dense"):

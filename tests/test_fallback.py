@@ -69,3 +69,17 @@ def test_converged_solve_reports_converged():
     assert not info.used_dense_fallback
     exact = np.linalg.eigh(ham.to_dense())[0]
     np.testing.assert_allclose(float(evals[0]), exact[0], atol=1e-9)
+
+
+def test_memory_bounded_restarted_lanczos():
+    """When the Krylov budget blocks step-doubling, lowest_states
+    restarts from the current Ritz vector instead of returning an
+    unconverged result (memory-bounded restarted Lanczos)."""
+    ham, _ = _random_sparse_ham(dim=400, seed=9)
+    budget = 32 * 400 * 8 + 1  # one 32-step f64 basis only
+    evals, vecs, info = lz.lowest_states(
+        ham, num_states=1, max_steps=32, return_info=True,
+        krylov_budget_bytes=budget)
+    exact = np.linalg.eigh(ham.to_dense())[0]
+    assert info.converged
+    np.testing.assert_allclose(float(evals[0]), exact[0], atol=1e-8)
