@@ -94,6 +94,9 @@ Connectors 1 {v}
 def main():
     import gc
 
+    print(json.dumps({"platform": jax.devices()[0].platform}),
+          flush=True)
+
     for case in (tj_case, rashba_case):
         name, dim, flat, fact, flat_slots = case()
         dt_flat = time_matvec(flat)

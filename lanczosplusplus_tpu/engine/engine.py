@@ -63,9 +63,10 @@ class Engine:
                           not use_symmetry and
                           ((getattr(model, "twice_s", None) == 1 and
                             type(model).__name__ == "HeisenbergModel") or
-                           type(model).__name__ in ("KitaevModel",
-                                                    "RashbaSOCModel",
-                                                    "TjMultiOrbModel")))
+                           type(model).__name__ in (
+                               "KitaevModel", "RashbaSOCModel",
+                               "TjMultiOrbModel",
+                               "FeAsSpinOrbitModel")))
         use_factored = self._factored
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):

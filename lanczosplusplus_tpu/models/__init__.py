@@ -24,4 +24,8 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
         from lanczosplusplus_tpu.models.tj_factored import \
             build_factored_tj
         return build_factored_tj(model, basis, dtype=dtype)
+    if name == "FeAsSpinOrbitModel":
+        from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
+            build_factored_feas_spinorbit
+        return build_factored_feas_spinorbit(model, basis, dtype=dtype)
     return None

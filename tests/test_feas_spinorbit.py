@@ -231,3 +231,68 @@ def test_spin_orbit_fock_space_oracle():
                             # every SO hop (see docstring)
                             H[index[r2[0]], row] += -val * r1[1] * r2[1]
     np.testing.assert_allclose(dense, H, atol=1e-10)
+
+
+@pytest.mark.parametrize("nsite,nup,ndown,so", [
+    (2, 1, 1, [0.3, 0.2, 0.1, 0.05,
+               0.2, -0.3, 0.05, 0.15,
+               0.1, 0.05, 0.25, 0.1,
+               0.05, 0.15, 0.1, -0.25]),
+    (3, 2, 1, [0.3, 0.0, 0.1, 0.0,
+               0.0, -0.3, 0.0, 0.1,
+               0.1, 0.0, 0.25, 0.0,
+               0.0, 0.1, 0.0, -0.25]),
+    (2, 2, 1, [0.4, 0.2, 0.0, 0.1,
+               0.2, -0.4, 0.1, 0.0,
+               0.0, 0.1, 0.2, 0.05,
+               0.1, 0.0, 0.05, -0.2]),
+])
+def test_block_kron_matches_flat(nsite, nup, ndown, so):
+    """The block-Kronecker form (MXU/perm-gather path) equals the flat
+    gather-ELL Hamiltonian elementwise."""
+    from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
+        build_factored_feas_spinorbit
+
+    inp = parse_input(so_text(nsite, nup, ndown, so))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((nup, ndown))
+    flat = model.hamiltonian(basis).to_dense()
+    fact = build_factored_feas_spinorbit(model, basis)
+    assert fact.dim == basis.size
+    dense = fact.to_dense()
+    np.testing.assert_allclose(dense, flat, atol=1e-11)
+
+
+def test_block_kron_with_anisotropy():
+    from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
+        build_factored_feas_spinorbit
+
+    so = [0.3, 0.2, 0.1, 0.05,
+          0.2, -0.3, 0.05, 0.15,
+          0.1, 0.05, 0.25, 0.1,
+          0.05, 0.15, 0.1, -0.25]
+    text = so_text(2, 1, 1, so).replace(
+        "SolverOptions=none", "SolverOptions=none\nAnisotropyD=0.7")
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((1, 1))
+    flat = model.hamiltonian(basis).to_dense()
+    fact = build_factored_feas_spinorbit(model, basis)
+    np.testing.assert_allclose(fact.to_dense(), flat, atol=1e-11)
+
+
+def test_factored_engine_matches_flat():
+    so = [0.3, 0.2, 0.1, 0.05,
+          0.2, -0.3, 0.05, 0.15,
+          0.1, 0.05, 0.25, 0.1,
+          0.05, 0.15, 0.1, -0.25]
+    text = so_text(2, 1, 1, so)
+    inp = parse_input(text)
+    e_flat = Engine(build_model(inp, Geometry(inp)), inp).ground_energy
+    text_f = text.replace("SolverOptions=none",
+                          "SolverOptions=factored,useComplex")
+    inp_f = parse_input(text_f)
+    eng = Engine(build_model(inp_f, Geometry(inp_f)), inp_f)
+    assert eng.ground_energy == pytest.approx(e_flat, abs=1e-9)
