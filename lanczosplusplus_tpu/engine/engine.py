@@ -600,22 +600,31 @@ class Engine:
 
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
-    def _batched_modified_states(self, op, dst_basis, vec, spin, orb):
-        """(valid_sites, Z): Z[k] = (dressed) op_site |vec> for every
-        valid site, built as ONE device scatter-add — the batched
-        accModifiedState_ (reference loops sites serially,
-        Engine.h:416-458).  Z lands on the default device so the n^2
-        pair overlaps can run as a single GEMM."""
-        import jax
+    def _cached_operator_map(self, op, site, spin, orb, dst_basis):
+        """Per-(op, site, spin, orb, dst-sector) index-map cache: the
+        host-side map construction dominates repeated observable calls
+        at large dims (spectral fleets, two_point, sq_omega)."""
+        if not hasattr(self, "_opmap_cache"):
+            self._opmap_cache = {}
+        key = (op.name, site, spin, orb, id(dst_basis))
+        if key not in self._opmap_cache:
+            self._opmap_cache[key] = self.model.operator_map(
+                op, site, spin, orb, self.basis, dst_basis)
+        return self._opmap_cache[key]
 
+    def _batched_scatter_plan(self, op, dst_basis, spin, orb, dtype):
+        """Device-resident batched scatter plan for op_site |vec> over
+        all sites: (valid_sites, rows, tgts, src_idx, amps).  Cached so
+        repeated observable calls ship only the state vector to the
+        device (the index maps and amplitudes stay put)."""
+        if not hasattr(self, "_scatter_plan_cache"):
+            self._scatter_plan_cache = {}
+        key = (op.name, spin, orb, id(dst_basis), np.dtype(dtype).name)
+        if key in self._scatter_plan_cache:
+            return self._scatter_plan_cache[key]
         n = self.geometry.number_of_sites()
-        x64 = jax.config.read("jax_enable_x64")
-        cplx = np.iscomplexobj(vec)
-        dtype = (np.complex128 if x64 else np.complex64) if cplx else \
-            (np.float64 if x64 else np.float32)
-        rows_l, tgt_l, contrib_l = [], [], []
+        rows_l, tgt_l, src_l, amp_l = [], [], [], []
         valid = []
-        src = np.asarray(vec)
         for site in range(n):
             if orb >= self.model.orbitals(site):
                 continue
@@ -628,18 +637,42 @@ class Engine:
             else:
                 parts_ = [(op, spin, 1.0)]
             for (op_k, spin_k, factor) in parts_:
-                tgt, amp, _ = self.model.operator_map(
-                    op_k, site, spin_k, orb, self.basis, dst_basis)
+                tgt, amp, _ = self._cached_operator_map(
+                    op_k, site, spin_k, orb, dst_basis)
                 mask = tgt >= 0
                 rows_l.append(np.full(mask.sum(), k, np.int32))
                 tgt_l.append(tgt[mask].astype(np.int32))
-                contrib_l.append((factor * amp[mask] * src[mask]
-                                  ).astype(dtype))
-        if not valid:
+                src_l.append(np.nonzero(mask)[0].astype(np.int32))
+                amp_l.append((factor * amp[mask]).astype(dtype))
+        plan = None
+        if valid:
+            plan = (valid,
+                    jnp.asarray(np.concatenate(rows_l)),
+                    jnp.asarray(np.concatenate(tgt_l)),
+                    jnp.asarray(np.concatenate(src_l)),
+                    jnp.asarray(np.concatenate(amp_l)))
+        self._scatter_plan_cache[key] = plan
+        return plan
+
+    def _batched_modified_states(self, op, dst_basis, vec, spin, orb):
+        """(valid_sites, Z): Z[k] = (dressed) op_site |vec> for every
+        valid site, built as ONE device scatter-add — the batched
+        accModifiedState_ (reference loops sites serially,
+        Engine.h:416-458).  Z lands on the default device so the n^2
+        pair overlaps can run as a single GEMM."""
+        import jax
+
+        x64 = jax.config.read("jax_enable_x64")
+        cplx = np.iscomplexobj(vec)
+        dtype = (np.complex128 if x64 else np.complex64) if cplx else \
+            (np.float64 if x64 else np.float32)
+        plan = self._batched_scatter_plan(op, dst_basis, spin, orb,
+                                          dtype)
+        if plan is None:
             return [], None
-        rows = jnp.asarray(np.concatenate(rows_l))
-        tgts = jnp.asarray(np.concatenate(tgt_l))
-        contribs = jnp.asarray(np.concatenate(contrib_l))
+        valid, rows, tgts, src_idx, amps = plan
+        v_dev = jnp.asarray(np.asarray(vec).astype(dtype))
+        contribs = amps * v_dev[src_idx]
         Z = jnp.zeros((len(valid), dst_basis.size), dtype)
         Z = Z.at[rows, tgts].add(contribs)
         return valid, Z
@@ -668,8 +701,12 @@ class Engine:
         ket = np.asarray(self.eigenvector(bra_ket[1]))
         valid_i, Z_ket = self._batched_modified_states(
             op, basis_new, ket, spin[0], orbs[0])
-        valid_j, Z_bra = self._batched_modified_states(
-            op, basis_new, bra, spin[1], orbs[1])
+        if (bra_ket[0] == bra_ket[1] and spin[0] == spin[1]
+                and orbs[0] == orbs[1]):
+            valid_j, Z_bra = valid_i, Z_ket
+        else:
+            valid_j, Z_bra = self._batched_modified_states(
+                op, basis_new, bra, spin[1], orbs[1])
         result = np.full((n, n), np.nan, dtype=np.complex128)
         if Z_ket is None or Z_bra is None:
             return result

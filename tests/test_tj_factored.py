@@ -93,3 +93,25 @@ def test_factored_out_of_scope_returns_none():
     model = build_model(inp, Geometry(inp))
     basis = model.create_basis((2, 2))
     assert build_factored_tj(model, basis) is None
+
+
+def test_factored_engine_spectral_matches_flat():
+    """SolverOptions=factored t-J: ground state AND a spectral
+    continued fraction equal the flat-path results (the factored
+    Hamiltonians feed the same Engine pipelines through matmat_t)."""
+    from lanczosplusplus_tpu.engine import Engine
+
+    text = tj_input(6, 2, 2)
+    inp = parse_input(text)
+    eng_flat = Engine(build_model(inp, Geometry(inp)), inp)
+    text_f = text.replace("SolverOptions=none", "SolverOptions=factored")
+    inp_f = parse_input(text_f)
+    eng_fact = Engine(build_model(inp_f, Geometry(inp_f)), inp_f)
+    assert eng_fact.ground_energy == pytest.approx(
+        eng_flat.ground_energy, abs=1e-10)
+    coll_flat, _ = eng_flat.spectral_function("c", 0, 1)
+    coll_fact, _ = eng_fact.spectral_function("c", 0, 1)
+    omegas = np.linspace(-6, 6, 40)
+    g_flat = coll_flat.evaluate(omegas, 0.2)
+    g_fact = coll_fact.evaluate(omegas, 0.2)
+    np.testing.assert_allclose(g_fact, g_flat, atol=1e-8)
