@@ -11,7 +11,7 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
         from lanczosplusplus_tpu.models.kitaev_factored import \
             build_factored_kitaev
         return build_factored_kitaev(model, basis, dtype=dtype)
-    if name == "HeisenbergModel" and getattr(model, "twice_s", None) == 1:
+    if name == "HeisenbergModel":
         from lanczosplusplus_tpu.models.heisenberg_factored import \
             FactoredHeisenbergChain
         nsite = model.geometry.number_of_sites()

@@ -12,7 +12,7 @@ from lanczosplusplus_tpu.models.heisenberg_factored import \
 from lanczosplusplus_tpu.solver.lanczos import lowest_states
 
 
-def _model(nsite, periodic=True, anisotropy=1.0):
+def _model(nsite, periodic=True, anisotropy=1.0, twice_s=1, extra=""):
     inp = parse_input(f"""
 TotalNumberOfSites={nsite}
 NumberOfTerms=2
@@ -25,9 +25,10 @@ GeometryKind=chain
 GeometryOptions=ConstantValues
 Connectors 1 {anisotropy}
 Model=Heisenberg
-HeisenbergTwiceS=1
+HeisenbergTwiceS={twice_s}
 SolverOptions=none
 IsPeriodicX={1 if periodic else 0}
+{extra}
 """)
     return HeisenbergModel(inp, Geometry(inp)), inp
 
@@ -44,6 +45,80 @@ def test_factored_matches_flat(nsite, periodic):
     d1 = np.linalg.eigvalsh(flat.to_dense())
     d2 = np.linalg.eigvalsh(fact.ham.to_dense())
     np.testing.assert_allclose(d1, d2, atol=1e-9)
+
+
+@pytest.mark.parametrize("twice_s,nsite,szpc", [(2, 6, 6), (2, 6, 4),
+                                                (3, 5, 7), (4, 4, 8)])
+def test_factored_matches_flat_general_spin(twice_s, nsite, szpc):
+    """Arbitrary-S half-cut factorization: full spectra match the flat
+    ELL Hamiltonian (S = 1, 3/2, 2; off-center sectors included)."""
+    model, inp = _model(nsite, periodic=True, anisotropy=0.6,
+                        twice_s=twice_s)
+    basis = model.create_basis((twice_s, szpc))
+    flat = model.hamiltonian(basis)
+    fact = FactoredHeisenbergChain(model, nsite, szpc)
+    assert fact.ham.dim == basis.size
+    d1 = np.linalg.eigvalsh(flat.to_dense())
+    d2 = np.linalg.eigvalsh(fact.ham.to_dense())
+    np.testing.assert_allclose(d1, d2, atol=1e-9)
+
+
+def test_factored_field_and_anisotropy():
+    """MagneticField + AnisotropyD single-site terms are carried by the
+    factored form (they were silently dropped pre-round-2 for the flat
+    comparison; reference diagonal: Heisenberg.h:242-276)."""
+    nsite, twice_s, szpc = 6, 2, 5
+    extra = ("MagneticField 6 0.3 -0.1 0.2 0.05 -0.4 0.15\n"
+             "AnisotropyD 6 0.2 0.2 0.1 -0.3 0.25 0.1\n")
+    model, inp = _model(nsite, periodic=True, twice_s=twice_s,
+                        extra=extra)
+    basis = model.create_basis((twice_s, szpc))
+    flat = model.hamiltonian(basis)
+    fact = FactoredHeisenbergChain(model, nsite, szpc)
+    d1 = np.linalg.eigvalsh(flat.to_dense())
+    d2 = np.linalg.eigvalsh(fact.ham.to_dense())
+    np.testing.assert_allclose(d1, d2, atol=1e-9)
+    # and through the flat-order adapter (perm wiring)
+    fh = fact.flat_ham(basis)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(basis.size)
+    np.testing.assert_allclose(np.asarray(fh.matvec(jnp.asarray(x))),
+                               np.asarray(flat.matvec(jnp.asarray(x))),
+                               atol=1e-9)
+
+
+def test_factored_spin1_engine_option():
+    """SolverOptions=factored now covers S=1 through Engine."""
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    def eng(opts):
+        inp = parse_input(f"""
+TotalNumberOfSites=6
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=2
+SolverOptions={opts}
+TargetSzPlusConst=6
+IsPeriodicX=1
+""")
+        g = Geometry(inp)
+        return Engine(build_model(inp, g), inp)
+
+    e1 = eng("none")
+    e2 = eng("factored")
+    assert abs(e1.ground_energy - e2.ground_energy) < 1e-9
+    np.testing.assert_allclose(np.asarray(e1.two_point("sz")),
+                               np.asarray(e2.two_point("sz")),
+                               atol=1e-8)
 
 
 def test_factored_lanczos_groundstate():
