@@ -59,14 +59,15 @@ class Engine:
         nstates = self.excited + 1
         use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
                         inp.integer("UseReflectionSymmetry", default=0))
-        self._factored = ("factored" in inp.solver_options() and
-                          not use_symmetry and
-                          ((getattr(model, "twice_s", None) == 1 and
-                            type(model).__name__ == "HeisenbergModel") or
-                           type(model).__name__ in (
-                               "KitaevModel", "RashbaSOCModel",
-                               "TjMultiOrbModel",
-                               "FeAsSpinOrbitModel")))
+        self._factored = False
+        if "factored" in inp.solver_options() and not use_symmetry:
+            # attempt the block factorization; models/inputs without
+            # one (or with restrictions the factored builders cannot
+            # serve) fall back to the flat gather path silently
+            ham_f = self._factored_hamiltonian(self.parts, self.basis)
+            if ham_f is not None:
+                self._factored = True
+                self._ham_cache = {self.parts: ham_f}
         use_factored = self._factored
         with self.progress.phase(
                 f"diagonalization dim={self.basis.size}"):
@@ -114,10 +115,11 @@ class Engine:
         return self._flat_ham
 
     def _solve_factored(self, nstates):
-        """S=1/2 Heisenberg / Kitaev via the half-cut block
-        factorization (SolverOptions=factored): every hot op is an MXU
-        matmul and the flat ELL is never materialized for the solve."""
-        ham = self._factored_hamiltonian(self.parts, self.basis)
+        """Heisenberg (any S) / Kitaev / Rashba / t-J / FeAs-SO via the
+        half-cut block factorization (SolverOptions=factored): every
+        hot op is an MXU matmul and the flat ELL is never materialized
+        for the solve."""
+        ham = self._cached_hamiltonian(self.parts)
         evals, vecs, info = lz.lowest_states(
             ham, num_states=nstates, seed=self.config.seed,
             max_steps=self.config.lanczos_steps, return_info=True)
@@ -126,19 +128,16 @@ class Engine:
         self._vectors = [np.asarray(v) for v in vecs]
 
     def _factored_hamiltonian(self, parts, basis):
-        """Flat-ordered block-factorized Hamiltonian: Sz-blocked
-        half-cut for an S=1/2 Heisenberg sector (any szpc, so
+        """Flat-ordered block-factorized Hamiltonian or None: Sz-blocked
+        half-cut for a Heisenberg sector of any spin S (any szpc, so
         dynamic-run sectors from s+/s- use it too), plain half-cut
         Kronecker for Kitaev (full 2^n, flat order is already the
-        product order)."""
+        product order), block-Kronecker unions for Rashba / t-J /
+        FeAs spin-orbit."""
         from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
 
-        ham = factored_hamiltonian_or_none(
+        return factored_hamiltonian_or_none(
             self.model, basis, parts, self.config.scalar_dtype)
-        if ham is None:
-            raise ValueError("SolverOptions=factored: no factorization "
-                             f"for {type(self.model).__name__}")
-        return ham
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:
@@ -179,7 +178,7 @@ class Engine:
 
     def _cached_basis(self, parts):
         if not hasattr(self, "_basis_cache"):
-            self._basis_cache = {}
+            self._basis_cache = {self.parts: self.basis}
         if parts not in self._basis_cache:
             self._basis_cache[parts] = self.model.create_basis(parts)
         return self._basis_cache[parts]
@@ -188,13 +187,15 @@ class Engine:
         if not hasattr(self, "_ham_cache"):
             self._ham_cache = {}
         if parts not in self._ham_cache:
+            ham = None
             if getattr(self, "_factored", False):
-                self._ham_cache[parts] = self._factored_hamiltonian(
+                ham = self._factored_hamiltonian(
                     parts, self._cached_basis(parts))
-            else:
-                self._ham_cache[parts] = self.model.hamiltonian(
+            if ham is None:
+                ham = self.model.hamiltonian(
                     self._cached_basis(parts),
                     dtype=self.config.scalar_dtype)
+            self._ham_cache[parts] = ham
         return self._ham_cache[parts]
 
     def _cached_dense_hamiltonian(self, parts):
@@ -219,16 +220,16 @@ class Engine:
         if not op.needs_new_basis:
             if parts == self.parts:
                 return parts, self.basis
-            return parts, self.model.create_basis(parts)
+            return parts, self._cached_basis(parts)
         new_parts = self.model.has_new_parts(parts, op, spin, orb)
         if new_parts is None:
             return None
-        return new_parts, self.model.create_basis(new_parts)
+        return new_parts, self._cached_basis(new_parts)
 
     def acc_modified_state(self, z, op, dst_basis, src_vec, src_basis,
                            site, spin, orb, factor):
         """z += factor * op_site |src> (reference: Engine.h:416-458)."""
-        tgt, amp, dst_dim = self.model.operator_map(
+        tgt, amp, dst_dim = self._cached_operator_map(
             op, site, spin, orb, src_basis, dst_basis)
         z += apply_operator_map(tgt, amp, dst_dim, src_vec, factor)
         return z
@@ -306,6 +307,7 @@ class Engine:
 
         Returns a list of (ContinuedFractionCollection, labels), one
         per entry of `pairs`."""
+        import jax
         import jax.numpy as jnp
 
         op1 = LabeledOperator(op_name)
@@ -313,8 +315,28 @@ class Engine:
         gs = np.asarray(self.eigenvector(0))
         steps = self.inp.integer("SpectralSteps",
                                  default=self.config.lanczos_steps)
+        x64 = jax.config.read("jax_enable_x64")
+        fleet_dtype = (np.complex128 if x64 else np.complex64) \
+            if np.iscomplexobj(gs) else (np.float64 if x64 else np.float32)
         per_pair_items = [[] for _ in pairs]
-        pending = {}      # parts -> list of (pair_i, slot, weight, s, s2, meta, v0)
+        # ONE batched device scatter per (op, orb, dst sector) builds
+        # op_site|gs> for every site; each (pair, type) start vector is
+        # then two device row reads + one axpy.  The host operator maps
+        # behind the scatter plan are built exactly once per sector and
+        # cached (reference: Engine.h:416-458 rebuilds the per-site
+        # application for every pair and type).
+        z_cache = {}
+
+        def z_for(op, basis_new, orb_):
+            zkey = (op.name, orb_, id(basis_new))
+            if zkey not in z_cache:
+                valid, Z = self._batched_modified_states(
+                    op, basis_new, gs, spin, orb_, dressed=False)
+                z_cache[zkey] = ({s_: k for k, s_ in enumerate(valid)}, Z)
+            return z_cache[zkey]
+
+        # parts -> (basis_new, jobs); job = (pi, slot, s, s2, meta, spec)
+        pending = {}
         for pi, (isite, jsite) in enumerate(pairs):
             is_diagonal = (isite == jsite and orbs[0] == orbs[1])
             for type_ in range(op1.number_of_types):
@@ -330,40 +352,53 @@ class Engine:
                 else:
                     new_parts = self.parts
                     basis_new = self.basis
-                modif = np.zeros(basis_new.size, dtype=gs.dtype)
-                self.acc_modified_state(modif, op, basis_new, gs,
-                                        self.basis, isite, spin, orbs[0],
-                                        1.0)
-                if not is_diagonal:
-                    isign = -1.0 if type_ > 1 else 1.0
-                    self.acc_modified_state(modif, op, basis_new, gs,
-                                            self.basis, jsite, spin,
-                                            orbs[1], isign)
-                weight = float(np.real(np.vdot(modif, modif)))
                 s, s2 = self._spectral_signs(op.is_fermionic, type_,
                                              is_diagonal)
                 meta = f"{spin},{type_},{orbs[0]},{orbs[1]}"
                 slot = len(per_pair_items[pi])
-                if weight < 1e-24:
-                    per_pair_items[pi].append(ContinuedFraction(
-                        alphas=np.zeros(0), betas=np.zeros(0),
-                        e0=self.ground_energy, weight=0.0, sigma=s,
-                        meta=meta))
-                    continue
                 per_pair_items[pi].append(None)
+                isign = 0.0 if is_diagonal else \
+                    (-1.0 if type_ > 1 else 1.0)
                 key = tuple(new_parts) if not isinstance(new_parts, tuple) \
                     else new_parts
-                pending.setdefault(key, []).append(
-                    (pi, slot, weight, s, s2, meta,
-                     modif / np.sqrt(weight)))
-        for parts_key, jobs in pending.items():
+                pending.setdefault(key, (basis_new, []))[1].append(
+                    (pi, slot, s, s2, meta, (op, isite, jsite, isign)))
+        for parts_key, (basis_new, jobs) in pending.items():
+            rows = []
+            for (_, _, _, _, _, (op, isite, jsite, isign)) in jobs:
+                pos_i, Z_i = z_for(op, basis_new, orbs[0])
+                row = Z_i[pos_i[isite]] if isite in pos_i else None
+                if isign != 0.0:
+                    pos_j, Z_j = z_for(op, basis_new, orbs[1])
+                    zj = Z_j[pos_j[jsite]] if jsite in pos_j else None
+                    if zj is not None:
+                        row = isign * zj if row is None else \
+                            row + isign * zj
+                rows.append(jnp.zeros(basis_new.size, fleet_dtype)
+                            if row is None else row)
+            M = jnp.stack(rows)
+            weights = np.asarray(
+                jnp.sum(jnp.abs(M) ** 2, axis=1)).astype(np.float64)
+            live = weights >= 1e-24
+            for j, (pi, slot, s, s2, meta, _) in enumerate(jobs):
+                if not live[j]:
+                    per_pair_items[pi][slot] = ContinuedFraction(
+                        alphas=np.zeros(0), betas=np.zeros(0),
+                        e0=self.ground_energy, weight=0.0, sigma=s,
+                        meta=meta)
+            if not live.any():
+                continue
             ham_new = self._cached_dense_hamiltonian(parts_key)
-            v0s = jnp.asarray(np.stack([j[6] for j in jobs]))
+            v0s = (M[np.nonzero(live)[0]] /
+                   jnp.sqrt(jnp.asarray(weights[live],
+                                        M.dtype))[:, None])
             ress = lz.tridiagonalize_plain_batched(ham_new, v0s, steps)
-            for (pi, slot, weight, s, s2, meta, _), res in zip(jobs, ress):
+            live_jobs = [j for j, ok in zip(jobs, live) if ok]
+            for (pi, slot, s, s2, meta, _), res, w in zip(
+                    live_jobs, ress, weights[live]):
                 per_pair_items[pi][slot] = ContinuedFraction(
                     alphas=res.alphas, betas=res.betas,
-                    e0=self.ground_energy, weight=weight * s2, sigma=s,
+                    e0=self.ground_energy, weight=w * s2, sigma=s,
                     meta=meta)
         out = []
         for items in per_pair_items:
@@ -600,26 +635,40 @@ class Engine:
 
     # -- static correlators (reference: Engine.h:266-338) -----------------
 
-    def _cached_operator_map(self, op, site, spin, orb, dst_basis):
-        """Per-(op, site, spin, orb, dst-sector) index-map cache: the
-        host-side map construction dominates repeated observable calls
-        at large dims (spectral fleets, two_point, sq_omega)."""
+    def _cached_operator_map(self, op, site, spin, orb, src_basis,
+                             dst_basis=None):
+        """Per-(op, site, spin, orb, src-sector, dst-sector) index-map
+        cache: the host-side map construction dominates repeated
+        observable calls at large dims (spectral fleets, two_point,
+        sq_omega, kpm/ftlm local DOS — every acc_modified_state goes
+        through here).  The cached entry holds references to both bases
+        so the id()-based key can never alias a garbage-collected
+        basis."""
+        if dst_basis is None:
+            src_basis, dst_basis = self.basis, src_basis
         if not hasattr(self, "_opmap_cache"):
             self._opmap_cache = {}
-        key = (op.name, site, spin, orb, id(dst_basis))
+        key = (op.name, site, spin, orb, id(src_basis), id(dst_basis))
         if key not in self._opmap_cache:
-            self._opmap_cache[key] = self.model.operator_map(
-                op, site, spin, orb, self.basis, dst_basis)
-        return self._opmap_cache[key]
+            self._opmap_cache[key] = (
+                src_basis, dst_basis,
+                self.model.operator_map(op, site, spin, orb,
+                                        src_basis, dst_basis))
+        return self._opmap_cache[key][2]
 
-    def _batched_scatter_plan(self, op, dst_basis, spin, orb, dtype):
+    def _batched_scatter_plan(self, op, dst_basis, spin, orb, dtype,
+                              dressed=True):
         """Device-resident batched scatter plan for op_site |vec> over
         all sites: (valid_sites, rows, tgts, src_idx, amps).  Cached so
         repeated observable calls ship only the state vector to the
-        device (the index maps and amplitudes stay put)."""
+        device (the index maps and amplitudes stay put).  `dressed`
+        applies the twoPoint sz -> (n_up - n_down)/2 decomposition
+        (Engine.h:537-599); spectral fleets pass dressed=False and use
+        the model's native sz map (Engine.h:416-458)."""
         if not hasattr(self, "_scatter_plan_cache"):
             self._scatter_plan_cache = {}
-        key = (op.name, spin, orb, id(dst_basis), np.dtype(dtype).name)
+        key = (op.name, spin, orb, id(dst_basis), np.dtype(dtype).name,
+               dressed)
         if key in self._scatter_plan_cache:
             return self._scatter_plan_cache[key]
         n = self.geometry.number_of_sites()
@@ -630,7 +679,7 @@ class Engine:
                 continue
             k = len(valid)
             valid.append(site)
-            if op.name == ops.SZ:
+            if dressed and op.name == ops.SZ:
                 # sz -> 0.5 n_up - 0.5 n_down (Engine.h:537-599)
                 parts_ = [(LabeledOperator(ops.N), 0, 0.5),
                           (LabeledOperator(ops.N), 1, -0.5)]
@@ -654,7 +703,8 @@ class Engine:
         self._scatter_plan_cache[key] = plan
         return plan
 
-    def _batched_modified_states(self, op, dst_basis, vec, spin, orb):
+    def _batched_modified_states(self, op, dst_basis, vec, spin, orb,
+                                 dressed=True):
         """(valid_sites, Z): Z[k] = (dressed) op_site |vec> for every
         valid site, built as ONE device scatter-add — the batched
         accModifiedState_ (reference loops sites serially,
@@ -667,7 +717,7 @@ class Engine:
         dtype = (np.complex128 if x64 else np.complex64) if cplx else \
             (np.float64 if x64 else np.float32)
         plan = self._batched_scatter_plan(op, dst_basis, spin, orb,
-                                          dtype)
+                                          dtype, dressed=dressed)
         if plan is None:
             return [], None
         valid, rows, tgts, src_idx, amps = plan

@@ -3,29 +3,36 @@ from lanczosplusplus_tpu.models.registry import build_model  # noqa: F401
 
 def factored_hamiltonian_or_none(model, basis, parts, dtype):
     """The half-cut block-factorized Hamiltonian for models that have
-    one (S=1/2 Heisenberg Sz sectors, Kitaev full space), or None.
-    Shared by Engine (SolverOptions=factored) and the FTLM schedule so
-    the model-dispatch logic lives in exactly one place."""
+    one (arbitrary-S Heisenberg Sz sectors, Kitaev full space, Rashba
+    SOC total-N sectors, t-J spatial half-cut, FeAs spin-orbit
+    (nup,ndown) union blocks), or None.  Shared by Engine
+    (SolverOptions=factored) and the FTLM schedule so the model-dispatch
+    logic lives in exactly one place.  Model restrictions a factored
+    builder cannot serve (e.g. asymmetric Heisenberg couplings) return
+    None too, so every caller keeps its flat-path fallback."""
     name = type(model).__name__
-    if name == "KitaevModel":
-        from lanczosplusplus_tpu.models.kitaev_factored import \
-            build_factored_kitaev
-        return build_factored_kitaev(model, basis, dtype=dtype)
-    if name == "HeisenbergModel":
-        from lanczosplusplus_tpu.models.heisenberg_factored import \
-            FactoredHeisenbergChain
-        nsite = model.geometry.number_of_sites()
-        fact = FactoredHeisenbergChain(model, nsite, parts[1],
-                                       dtype=dtype)
-        return fact.flat_ham(basis)
-    if name == "RashbaSOCModel":
-        return model.block_kron_hamiltonian(basis, dtype=dtype)
-    if name == "TjMultiOrbModel":
-        from lanczosplusplus_tpu.models.tj_factored import \
-            build_factored_tj
-        return build_factored_tj(model, basis, dtype=dtype)
-    if name == "FeAsSpinOrbitModel":
-        from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
-            build_factored_feas_spinorbit
-        return build_factored_feas_spinorbit(model, basis, dtype=dtype)
+    try:
+        if name == "KitaevModel":
+            from lanczosplusplus_tpu.models.kitaev_factored import \
+                build_factored_kitaev
+            return build_factored_kitaev(model, basis, dtype=dtype)
+        if name == "HeisenbergModel":
+            from lanczosplusplus_tpu.models.heisenberg_factored import \
+                FactoredHeisenbergChain
+            nsite = model.geometry.number_of_sites()
+            fact = FactoredHeisenbergChain(model, nsite, parts[1],
+                                           dtype=dtype)
+            return fact.flat_ham(basis)
+        if name == "RashbaSOCModel":
+            return model.block_kron_hamiltonian(basis, dtype=dtype)
+        if name == "TjMultiOrbModel":
+            from lanczosplusplus_tpu.models.tj_factored import \
+                build_factored_tj
+            return build_factored_tj(model, basis, dtype=dtype)
+        if name == "FeAsSpinOrbitModel":
+            from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
+                build_factored_feas_spinorbit
+            return build_factored_feas_spinorbit(model, basis, dtype=dtype)
+    except NotImplementedError:
+        return None
     return None

@@ -37,7 +37,7 @@ Built on core/blockkron.py (BlockKronHamiltonian), so the factored
 form gets matmat_t (batch-major SpMM for FTLM/KPM fleets) and the
 PermutedHamiltonian flat-order adapter for free.
 
-Validated against the flat HeisenbergModel path for S = 1/2, 1, 3/2
+Validated against the flat HeisenbergModel path for S = 1/2 .. 2
 (same physics, block ordering differs).
 """
 

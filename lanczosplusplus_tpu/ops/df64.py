@@ -146,3 +146,142 @@ def refined_energy(ham, v) -> float:
     den = float(np.float64(np.asarray(den_h))
                 + np.float64(np.asarray(den_l)))
     return num / den
+
+
+# ---------------------------------------------------------------------------
+# Host float64 Rayleigh refinement for the forms the on-chip df64 apply
+# cannot cover: block-Kronecker / permuted factored Hamiltonians (their
+# hot op is an MXU GEMM, and the MXU rounds its accumulation — there is
+# no error-free-transformation route through it) and complex scalars.
+# One f64 matvec-worth of numpy work, off the hot path, gives the exact
+# same f64 bar (reference: src/Engine/LanczosDriver.h:29-33 RealType =
+# double).
+
+def _np64(a, ctype):
+    return np.asarray(a).astype(ctype)
+
+
+def _host_matvec_blockkron(ham, xs, ctype):
+    """Numpy float64/complex128 mirror of BlockKronHamiltonian.matvec
+    (core/blockkron.py) on pre-split per-block matrices xs."""
+    ys = [_np64(ham.diag[b], ctype) * xs[b] for b in range(len(xs))]
+    for b in range(len(xs)):
+        if ham.row_ops[b] is not None:
+            ys[b] = ys[b] + _np64(ham.row_ops[b], ctype) @ xs[b]
+        if ham.col_ops[b] is not None:
+            ys[b] = ys[b] + xs[b] @ _np64(ham.col_ops[b], ctype).T
+    for t in ham.cross:
+        left = _np64(t.left, ctype)
+        right = _np64(t.right, ctype)
+        t1 = np.einsum("ndc,rc->nrd", right, xs[t.src])
+        ys[t.dst] = ys[t.dst] + np.einsum("nor,nrd->od", left, t1)
+        if t.add_hc:
+            t2 = np.einsum("rd,ndc->nrc", xs[t.dst], np.conj(right))
+            ys[t.src] = ys[t.src] + np.einsum("nor,noc->rc",
+                                              np.conj(left), t2)
+    for t in ham.perm_cross:
+        x = xs[t.src]
+        row_src = np.asarray(t.row_src)
+        col_src = np.asarray(t.col_src)
+        row_amp = _np64(t.row_amp, ctype)
+        col_amp = _np64(t.col_amp, ctype)
+        for n in range(row_src.shape[0]):
+            rows = x[row_src[n]]
+            ys[t.dst] = ys[t.dst] + (row_amp[n][:, None]
+                                     * rows[:, col_src[n]]
+                                     * col_amp[n][None, :])
+    return ys
+
+
+def host_matvec_f64(ham, v) -> np.ndarray:
+    """H @ v on the HOST in float64/complex128 for any Hamiltonian form
+    (flat diag/ELL/Kronecker gather, BlockKronHamiltonian,
+    PermutedHamiltonian)."""
+    cplx = (np.iscomplexobj(np.asarray(v)) or
+            jnp.issubdtype(jnp.dtype(ham.dtype), jnp.complexfloating))
+    ctype = np.complex128 if cplx else np.float64
+    x = _np64(v, ctype)
+    if hasattr(ham, "inner"):           # PermutedHamiltonian
+        perm = np.asarray(ham.perm)
+        inv = np.asarray(ham.inv)
+        return host_matvec_f64(ham.inner, x[perm])[inv]
+    if hasattr(ham, "shapes"):          # BlockKronHamiltonian
+        xs = []
+        off = 0
+        for (r, c) in ham.shapes:
+            xs.append(x[off:off + r * c].reshape(r, c))
+            off += r * c
+        ys = _host_matvec_blockkron(ham, xs, ctype)
+        return np.concatenate([y.reshape(-1) for y in ys])
+    # flat Hamiltonian: always via the gather maps (kept alongside the
+    # densified factors; exact in f64)
+    y = _np64(ham.diag, ctype) * x
+    if getattr(ham, "factorized", None) is not None:
+        f = ham.factorized
+        szd, szu = ham.spin_shape
+        x2d = x.reshape(szd, szu)
+        y2 = y.reshape(szd, szu)
+        if f.up_cols is not None:
+            cu = np.asarray(f.up_cols)
+            vu = _np64(f.up_vals, ctype)
+            for k in range(cu.shape[1]):
+                y2 = y2 + vu[None, :, k] * x2d[:, cu[:, k]]
+        if f.dn_cols is not None:
+            cd = np.asarray(f.dn_cols)
+            vd = _np64(f.dn_vals, ctype)
+            for k in range(cd.shape[1]):
+                y2 = y2 + vd[:, k, None] * x2d[cd[:, k], :]
+        y = y2.reshape(-1)
+    if getattr(ham, "ell", None) is not None:
+        cols = np.asarray(ham.ell.cols)
+        vals = _np64(ham.ell.vals, ctype)
+        for k in range(cols.shape[1]):
+            y = y + vals[:, k] * x[cols[:, k]]
+    return y
+
+
+def refinement_flops(ham) -> float:
+    """Rough flop count of one host_matvec_f64, used to cap the
+    automatic refinement at dims where the one-shot host pass would
+    take minutes."""
+    if hasattr(ham, "inner"):
+        return refinement_flops(ham.inner)
+    if hasattr(ham, "shapes"):
+        n = 0.0
+        for b, (r, c) in enumerate(ham.shapes):
+            n += r * c
+            if ham.row_ops[b] is not None:
+                n += 2.0 * r * r * c
+            if ham.col_ops[b] is not None:
+                n += 2.0 * r * c * c
+        for t in ham.cross:
+            nb, rd, rs = t.left.shape
+            cd, cs = t.right.shape[1:]
+            n += 2.0 * nb * (rd * rs * cs + rd * cs * cd)
+            if t.add_hc:
+                n += 2.0 * nb * (rd * cd * cs + rd * rs * cs)
+        for t in ham.perm_cross:
+            n += 3.0 * t.row_src.shape[0] * t.row_src.shape[1] \
+                * t.col_src.shape[1]
+        return n
+    n = 2.0 * ham.dim
+    if getattr(ham, "factorized", None) is not None:
+        f = ham.factorized
+        szd, szu = ham.spin_shape
+        if f.up_cols is not None:
+            n += 2.0 * szd * np.prod(f.up_cols.shape)
+        if f.dn_cols is not None:
+            n += 2.0 * szu * np.prod(f.dn_cols.shape)
+    if getattr(ham, "ell", None) is not None:
+        n += 2.0 * np.prod(ham.ell.cols.shape)
+    return float(n)
+
+
+def host_refined_energy(ham, v) -> float:
+    """<v|H|v> / <v|v> in host float64/complex128 — the refinement path
+    for factored block forms and complex scalars (chip df64 covers the
+    real flat forms)."""
+    y = host_matvec_f64(ham, v)
+    cplx = np.iscomplexobj(y)
+    x = np.asarray(v).astype(np.complex128 if cplx else np.float64)
+    return float(np.real(np.vdot(x, y)) / np.real(np.vdot(x, x)))

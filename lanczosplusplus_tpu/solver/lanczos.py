@@ -511,20 +511,31 @@ def _dense_solve(ham, num_states: int):
 
 
 def _maybe_refine(ham, evals, vecs):
-    """df64 Rayleigh refinement of f32 energies: the quadratic form on
-    the f32 Ritz vector, evaluated in emulated double, carries only
-    the QUADRATIC eigenvector error (~1e-12 relative) — the f64 story
-    on a chip without f64 (reference bar: LanczosDriver.h:29-33)."""
-    if jnp.dtype(getattr(ham, "dtype", np.float64)) != jnp.float32:
+    """Low-precision energy refinement (reference bar: f64,
+    LanczosDriver.h:29-33).  Real flat forms evaluate the Rayleigh
+    quotient in on-chip df64 (error-free transformations over the
+    gather maps); block-Kronecker / permuted factored forms and complex
+    scalars — whose hot op is an MXU GEMM with rounded accumulation, so
+    no chip EFT route exists — fall back to ONE host float64 matvec per
+    state (exact f64, off the hot path), capped by a flop budget so the
+    automatic path never stalls minutes on a huge factored sector."""
+    dt = jnp.dtype(getattr(ham, "dtype", np.float64))
+    if dt not in (jnp.float32, jnp.complex64):
         return evals
-    if not (hasattr(ham, "diag") and hasattr(ham, "ell")):
-        return evals  # factored/block forms: gather maps unavailable
+    from lanczosplusplus_tpu.ops import df64
+    is_flat_real = (dt == jnp.float32 and hasattr(ham, "ell")
+                    and hasattr(ham, "diag")
+                    and not hasattr(ham, "shapes"))
     try:
-        from lanczosplusplus_tpu.ops.df64 import refined_energy
-        return np.array([refined_energy(ham, np.asarray(v))
-                         for v in vecs])
+        if is_flat_real:
+            return np.array([df64.refined_energy(ham, np.asarray(v))
+                             for v in vecs])
+        if df64.refinement_flops(ham) * len(vecs) <= 4e11:
+            return np.array([df64.host_refined_energy(ham, np.asarray(v))
+                             for v in vecs])
     except NotImplementedError:
-        return evals
+        pass
+    return evals
 
 
 def lowest_states(ham, num_states: int = 1, seed: int = 7239443,

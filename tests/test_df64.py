@@ -109,3 +109,105 @@ IsPeriodicX=1
     e32, v32 = lz.lowest_states(ham32, max_steps=150)
     # the VERDICT bar: <= 1e-8 relative (plain f32 sits at ~1e-6)
     assert abs(float(e32[0]) - e64[0]) / abs(e64[0]) < 1e-8
+
+
+def _heis_input(nsite=8, twice_s=1, szpc=None, jzz="1.0"):
+    szpc = nsite * twice_s // 2 if szpc is None else szpc
+    return parse_input(f"""
+TotalNumberOfSites={nsite}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {jzz}
+Model=Heisenberg
+HeisenbergTwiceS={twice_s}
+TargetSzPlusConst={szpc}
+SolverOptions=none
+IsPeriodicX=1
+""")
+
+
+def test_host_matvec_f64_blockkron():
+    """host_matvec_f64 mirrors BlockKronHamiltonian.matvec exactly
+    (the host-f64 refinement path for factored forms)."""
+    from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
+
+    inp = _heis_input(nsite=8, twice_s=1, szpc=4)
+    model = build_model(inp, Geometry(inp))
+    parts = model.default_parts(inp)
+    basis = model.create_basis(parts)
+    ham = factored_hamiltonian_or_none(model, basis, parts, np.float64)
+    assert ham is not None
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(ham.dim)
+    y_host = df64.host_matvec_f64(ham, x)
+    y_dev = np.asarray(ham.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y_host, y_dev, atol=1e-12)
+
+
+def test_host_refined_energy_factored():
+    """f32 factored Heisenberg solve + host-f64 refinement reaches the
+    f64 bar (<= 1e-10 relative); the automatic lowest_states path picks
+    it up for block forms."""
+    from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
+
+    inp = _heis_input(nsite=10, twice_s=1, szpc=5)
+    model = build_model(inp, Geometry(inp))
+    parts = model.default_parts(inp)
+    basis = model.create_basis(parts)
+    ham64 = factored_hamiltonian_or_none(model, basis, parts, np.float64)
+    ham32 = factored_hamiltonian_or_none(model, basis, parts, np.float32)
+    e64, _ = lz.lowest_states(ham64, max_steps=150)
+    e32, v32 = lz.lowest_states(ham32, max_steps=150)
+    assert abs(float(e32[0]) - e64[0]) / abs(e64[0]) < 1e-10
+    # and the explicit host evaluator agrees with the refined value
+    got = df64.host_refined_energy(ham32, np.asarray(v32[0]))
+    assert abs(got - float(e32[0])) < 1e-12 * abs(e64[0]) + 1e-10
+
+
+def test_host_refined_energy_complex():
+    """Complex (Rashba-like) Hamiltonians refine through the host-f64
+    path (chip df64 is real-only)."""
+    from lanczosplusplus_tpu.core.sparse import coo_to_ell, EllPart, \
+        Hamiltonian
+
+    rng = np.random.default_rng(5)
+    dim = 400
+    m = rng.standard_normal((dim, dim)) + 1j * rng.standard_normal(
+        (dim, dim))
+    m = (m + m.conj().T) / 2
+    m *= (rng.random((dim, dim)) < 0.02)  # sparsify
+    m = (m + m.conj().T) / 2
+    diag = np.real(np.diag(m)).copy()
+    off = m - np.diag(np.diag(m))
+    r, c = np.nonzero(off)
+    cols, vals = coo_to_ell(dim, r, c, off[r, c])
+    ham32 = Hamiltonian(diag=jnp.asarray(diag, jnp.float32),
+                        ell=EllPart(cols=jnp.asarray(cols),
+                                    vals=jnp.asarray(vals,
+                                                     jnp.complex64)),
+                        factorized=None, spin_shape=None)
+    evals = np.linalg.eigvalsh(m)
+    e32, v32, info = lz.lowest_states(ham32, max_steps=200,
+                                      dense_fallback_dim=0,
+                                      return_info=True)
+    assert abs(float(e32[0]) - evals[0]) / max(abs(evals[0]), 1.0) < 1e-6
+    got = df64.host_refined_energy(ham32, np.asarray(v32[0]))
+    # the refined value is the exact Rayleigh quotient of the f32 state
+    # over the c64-ROUNDED matrix the Hamiltonian actually stores
+    m_stored = np.zeros((dim, dim), np.complex128)
+    m_stored[np.arange(dim), np.arange(dim)] = np.asarray(
+        ham32.diag).astype(np.float64)
+    cols_s = np.asarray(ham32.ell.cols)
+    vals_s = np.asarray(ham32.ell.vals).astype(np.complex128)
+    rr = np.repeat(np.arange(dim), cols_s.shape[1])
+    np.add.at(m_stored, (rr, cols_s.reshape(-1)), vals_s.reshape(-1))
+    x = np.asarray(v32[0]).astype(np.complex128)
+    want = float(np.real(x.conj() @ (m_stored @ x)) /
+                 np.real(x.conj() @ x))
+    assert abs(got - want) < 1e-12 * max(abs(want), 1.0)

@@ -230,3 +230,71 @@ IsPeriodicX=1
         g2 = sum(cf.evaluate(om, 0.1) for cf in c2.items)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=1e-6)
+
+
+def test_engine_factored_gate_spin1_taken():
+    """The Engine actually takes the factored path for S >= 1 (round-2
+    left a stale twice_s==1 gate that silently fell back to flat)."""
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    inp = parse_input("""
+TotalNumberOfSites=6
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=2
+SolverOptions=factored
+TargetSzPlusConst=6
+IsPeriodicX=1
+""")
+    g = Geometry(inp)
+    e = Engine(build_model(inp, g), inp)
+    assert e._factored is True
+    from lanczosplusplus_tpu.core.blockkron import (
+        BlockKronHamiltonian, PermutedHamiltonian)
+    assert isinstance(e._cached_hamiltonian(e.parts),
+                      (BlockKronHamiltonian, PermutedHamiltonian))
+
+
+def test_engine_factored_fallback_asymmetric():
+    """Asymmetric jpm/jzz couplings have no factored form; the
+    dispatcher returns None (instead of leaking NotImplementedError,
+    ADVICE r2) and the Engine falls back to the flat path."""
+    from lanczosplusplus_tpu.engine import Engine
+    from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
+
+    model, inp = _model(6, periodic=True, extra="TargetSzPlusConst=3")
+    model.jpm = model.jpm.copy()
+    model.jpm[0, 1] = 0.5   # != jpm[1, 0] -> asymmetric
+    basis = model.create_basis((1, 3))
+    assert factored_hamiltonian_or_none(model, basis, (1, 3),
+                                        np.float64) is None
+    inp_f = parse_input("""
+TotalNumberOfSites=6
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.7
+Model=Heisenberg
+HeisenbergTwiceS=1
+SolverOptions=factored
+TargetSzPlusConst=3
+IsPeriodicX=1
+""")
+    # Engine must not crash; it silently uses the flat path
+    e = Engine(model, inp_f)
+    assert e._factored is False
+    assert np.isfinite(e.ground_energy)
