@@ -58,6 +58,17 @@ def load():
     lib.lpp_one_spin_hop_ell.argtypes = [u64p, ctypes.c_long, intp, intp,
                                          f64p, ctypes.c_int, i64p,
                                          ctypes.c_int, i32p, f64p]
+    lib.lpp_scatter_plan_count.restype = None
+    lib.lpp_scatter_plan_count.argtypes = [i64p, ctypes.c_long,
+                                           ctypes.c_long, ctypes.c_long,
+                                           ctypes.c_int, i64p]
+    lib.lpp_scatter_plan_fill.restype = None
+    lib.lpp_scatter_plan_fill.argtypes = [i64p, ctypes.c_long,
+                                          ctypes.c_long, ctypes.c_long,
+                                          ctypes.c_int, ctypes.c_long,
+                                          ctypes.c_char_p, ctypes.c_long,
+                                          i32p, ctypes.c_char_p, i32p,
+                                          i64p]
     _LIB = lib
     return _LIB
 
@@ -87,6 +98,32 @@ def rank_combinations(words: np.ndarray, table: np.ndarray):
     lib.lpp_rank_combinations(words, words.shape[0], table,
                               table.shape[1], out)
     return out
+
+
+def scatter_plan_tables(tgt: np.ndarray, amp: np.ndarray, s_src: int,
+                        s_dst: int, ndev: int):
+    """(send_src, send_amp, dst_idx, maxcount) bucket tables for
+    SectorScatterPlan, built in one native pass each for count/fill.
+    Returns None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    tgt = np.ascontiguousarray(tgt, dtype=np.int64)
+    amp = np.ascontiguousarray(amp)
+    n = tgt.shape[0]
+    counts = np.zeros(ndev * ndev, dtype=np.int64)
+    lib.lpp_scatter_plan_count(tgt, n, s_src, s_dst, ndev, counts)
+    maxcount = max(int(counts.max(initial=0)), 1)
+    send_src = np.zeros((ndev, ndev, maxcount), np.int32)
+    send_amp = np.zeros((ndev, ndev, maxcount), amp.dtype)
+    dst_idx = np.zeros((ndev, ndev, maxcount), np.int32)
+    counts[:] = 0
+    lib.lpp_scatter_plan_fill(
+        tgt, n, s_src, s_dst, ndev, maxcount,
+        amp.ctypes.data_as(ctypes.c_char_p), amp.dtype.itemsize,
+        send_src, send_amp.ctypes.data_as(ctypes.c_char_p), dst_idx,
+        counts)
+    return send_src, send_amp, dst_idx, maxcount
 
 
 def one_spin_hop_ell(words: np.ndarray, bonds, table: np.ndarray):

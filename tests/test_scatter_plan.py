@@ -57,3 +57,43 @@ SolverOptions=none
     got = distributed_apply_operator_map(tgt, amp, dst_dim, x, mesh)
     want = apply_operator_map(tgt, amp, dst_dim, x)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-10)
+
+
+def test_plan_build_vectorized_speed_and_equivalence():
+    """Whole-array plan construction: a 1.2e7-entry operator map builds
+    in seconds (the round-2 per-nonzero Python loop took minutes), and
+    small plans bit-match a straightforward reference construction."""
+    import time
+
+    rng = np.random.default_rng(7)
+    # equivalence against a brute-force bucketer on a small map
+    src_dim, dst_dim, ndev = 3000, 2200, 8
+    tgt = rng.integers(-1, dst_dim, size=src_dim)
+    amp = rng.standard_normal(src_dim)
+    amp[tgt < 0] = 0.0
+    plan = SectorScatterPlan(tgt, amp, src_dim, dst_dim, ndev)
+    s_src, s_dst = plan.s_src, plan.s_dst
+    buckets = [[([], [], []) for _ in range(ndev)] for _ in range(ndev)]
+    for i in np.nonzero(tgt >= 0)[0]:
+        d, o = i // s_src, tgt[i] // s_dst
+        buckets[d][o][0].append(i - d * s_src)
+        buckets[d][o][1].append(tgt[i] - o * s_dst)
+        buckets[d][o][2].append(amp[i])
+    for d in range(ndev):
+        for o in range(ndev):
+            n = len(buckets[d][o][0])
+            np.testing.assert_array_equal(plan.send_src[d, o, :n],
+                                          buckets[d][o][0])
+            np.testing.assert_array_equal(plan.dst_idx[o, d, :n],
+                                          buckets[d][o][1])
+            np.testing.assert_allclose(plan.send_amp[d, o, :n],
+                                       buckets[d][o][2])
+            assert not plan.send_amp[d, o, n:].any()
+
+    # speed at north-star scale
+    big = 12_000_000
+    tgt_b = rng.integers(-1, big, size=big)
+    amp_b = np.ones(big)
+    t0 = time.perf_counter()
+    SectorScatterPlan(tgt_b, amp_b, big, big, 8)
+    assert time.perf_counter() - t0 < 5.0
