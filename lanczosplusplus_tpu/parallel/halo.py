@@ -337,10 +337,13 @@ class KronHaloHamiltonian:
 
 
 def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
-                       seed: int = 7239443, max_steps: int = 200):
+                       seed: int = 7239443, max_steps: int = 200,
+                       **solve_kw):
     """Distributed lowest_states with halo-exchange communication
     instead of a full all-gather (Kronecker-structured halo when the
-    Hamiltonian factorizes, generic flat-ELL halo otherwise)."""
+    Hamiltonian factorizes, generic flat-ELL halo otherwise).  Extra
+    keywords (tol, krylov_budget_bytes, return_info, strict) reach
+    sharded_selective_solve."""
     from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     if getattr(ham, "factorized", None) is not None and \
@@ -348,17 +351,20 @@ def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
         plan = KronHaloPlan(ham, mesh.devices.size)
         sham = plan.hamiltonian(mesh)
         return sharded_selective_solve(sham, mesh, plan.orig_dim,
-                                       num_states, seed, max_steps)
+                                       num_states, seed, max_steps,
+                                       **solve_kw)
     return _halo_lowest_states_flat(ham, mesh, num_states, seed,
-                                    max_steps)
+                                    max_steps, **solve_kw)
 
 
 def _halo_lowest_states_flat(ham, mesh: Mesh, num_states: int = 1,
-                             seed: int = 7239443, max_steps: int = 200):
+                             seed: int = 7239443, max_steps: int = 200,
+                             **solve_kw):
     """Generic flat-ELL halo solve."""
     from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     plan = HaloPlan(ham, mesh.devices.size)
     sham = plan.hamiltonian(mesh)
     return sharded_selective_solve(sham, mesh, plan.orig_dim,
-                                   num_states, seed, max_steps)
+                                   num_states, seed, max_steps,
+                                   **solve_kw)

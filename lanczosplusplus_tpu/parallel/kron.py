@@ -152,12 +152,15 @@ def shard_kron_hamiltonian(ham, mesh: Mesh,
 
 
 def kron_lowest_states(ham, mesh: Mesh, num_states: int = 1,
-                       seed: int = 7239443, max_steps: int = 200):
+                       seed: int = 7239443, max_steps: int = 200,
+                       **solve_kw):
     """Distributed lowest_states in Kronecker form: the same selective
     Lanczos scan as the single-chip solver, with the Krylov basis and
-    state vector sharded over the mesh rows."""
+    state vector sharded over the mesh rows.  Extra keywords (tol,
+    krylov_budget_bytes, return_info, strict) reach
+    sharded_selective_solve."""
     from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     kham, _ = shard_kron_hamiltonian(ham, mesh)
     return sharded_selective_solve(kham, mesh, ham.dim, num_states,
-                                   seed, max_steps)
+                                   seed, max_steps, **solve_kw)

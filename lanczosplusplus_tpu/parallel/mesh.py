@@ -62,29 +62,127 @@ def shard_for_mesh(ham, mesh: Mesh, prefer_kron: bool = True):
     return shard_hamiltonian(ham, mesh)
 
 
+def _sharded_plain_solve(sham, mesh: Mesh, v0, orig_dim: int,
+                         num_states: int, max_steps: int):
+    """Distributed plain two-pass Lanczos: O(2 vectors) of sharded
+    memory — the fallback when the stored Krylov basis would blow the
+    byte budget (north-star config 5: 1e8-1e9 nnz sectors whose V at
+    200 steps exceeds per-chip HBM).  First pass builds (alpha, beta)
+    with the sharded three-term recurrence, host eigensolve, second
+    pass replays the recurrence accumulating the Ritz vectors — both
+    passes reuse the single-chip jitted scans, which GSPMD re-lowers
+    with the mesh shardings of their operands."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    dtype = v0.dtype
+    rdt = jnp.float64 if dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    steps = int(min(orig_dim, max_steps))
+    zero = jnp.zeros_like(v0)
+    beta0 = jnp.asarray(0.0, rdt)
+    _, _, _, alphas, betas = lz._lanczos_chunk_plain(
+        sham, v0, zero, beta0, jnp.arange(steps))
+    alphas, betas, m = lz.trim_at_breakdown(alphas, betas)
+    evals, evecs = lz.tridiag_eigh(alphas[:m], betas[:m])
+    k = min(num_states, m)
+    vecs = []
+    for i in range(k):
+        wts = np.zeros(steps)
+        wts[:m] = evecs[:, i]
+        acc = lz._lanczos_accumulate_pass(
+            sham, v0, zero, beta0, jnp.asarray(wts),
+            jnp.zeros_like(v0), jnp.arange(steps))
+        acc = acc / jnp.linalg.norm(acc)
+        vecs.append(np.asarray(acc)[:orig_dim])
+    return evals[:k], np.asarray(vecs)
+
+
 def sharded_selective_solve(sham, mesh: Mesh, orig_dim: int,
-                            num_states: int, seed: int, max_steps: int):
+                            num_states: int, seed: int, max_steps: int,
+                            tol: float = 1e-10,
+                            krylov_budget_bytes: int = 6 << 30,
+                            return_info: bool = False,
+                            strict: bool = False):
     """Shared distributed lowest_states driver: run the selective-
     reorthogonalization Lanczos scan on an already-sharded Hamiltonian
     (flat ELL, halo or Kronecker form — anything with .dim/.dtype/
     .matvec), with the Krylov basis and state vector row-sharded over
     `mesh`; finish with the common epilogue.  Padded coordinates carry
-    zero start amplitude and never enter the Krylov space."""
+    zero start amplitude and never enter the Krylov space.
+
+    Carries the single-chip solver's robustness machinery
+    (solver/lanczos.py lowest_states; reference Engine.h:616-639):
+    when the stored (steps, dim) Krylov basis would exceed
+    `krylov_budget_bytes` PER MESH (the basis is row-sharded, so the
+    per-device share is budget/ndev), the memory-light distributed
+    plain two-pass solver takes over; otherwise the Ritz residual is
+    checked and steps double (within budget) until convergence, with
+    memory-bounded single-state restarts at the budget edge.  Returns
+    (evals, vecs) or (evals, vecs, SolveInfo) with `return_info=True`;
+    `strict=True` raises on non-convergence instead of returning
+    silently."""
     from lanczosplusplus_tpu.solver import lanczos as lz
+    from lanczosplusplus_tpu.solver.lanczos import SolveInfo
+
+    def ret(evals, vecs, info):
+        return (evals, vecs, info) if return_info else (evals, vecs)
 
     dim = sham.dim
-    steps = int(min(dim, max_steps))
-    v0 = lz.random_start_vector(orig_dim, seed, sham.dtype)
+    dtype = sham.dtype
+    itemsize = np.dtype(dtype).itemsize
+    v0 = lz.random_start_vector(orig_dim, seed, dtype)
     v0 = jnp.concatenate([jnp.asarray(v0),
-                          jnp.zeros(dim - orig_dim, dtype=sham.dtype)])
+                          jnp.zeros(dim - orig_dim, dtype=dtype)])
     v0 = sharded_vector(v0, mesh)
-    V = jax.device_put(jnp.zeros((steps, dim), dtype=sham.dtype),
-                       NamedSharding(mesh, P(None, ROWS)))
-    state = lz._selective_init_state(v0, steps)
-    V, state, alphas, betas, _ = lz._lanczos_chunk_selective(
-        sham, V, state, jnp.arange(steps))
+    if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
+        tol = max(tol, 1e-6)
+
+    if min(orig_dim, max_steps) * dim * itemsize > krylov_budget_bytes:
+        evals, vecs = _sharded_plain_solve(sham, mesh, v0, orig_dim,
+                                           num_states, max_steps)
+        # no stored basis to estimate a residual from; extremal Ritz
+        # values converge first (standard plain-Lanczos theory)
+        return ret(evals, vecs, SolveInfo(True, float("nan"),
+                                          min(orig_dim, max_steps)))
+
+    steps = int(min(orig_dim, max_steps))
+    Vsharding = NamedSharding(mesh, P(None, ROWS))
+    restarts = 0
+    while True:
+        V = jax.device_put(jnp.zeros((steps, dim), dtype=dtype),
+                           Vsharding)
+        state = lz._selective_init_state(v0, steps)
+        V, state, alphas, betas, _ = lz._lanczos_chunk_selective(
+            sham, V, state, jnp.arange(steps))
+        a_t, b_t, m = lz.trim_at_breakdown(alphas, betas)
+        evals, evecs = lz.tridiag_eigh(a_t[:m], b_t[:m])
+        k_chk = min(num_states, m)
+        resid = abs(b_t[m - 1]) * np.abs(evecs[m - 1, :k_chk]).max()
+        scale = max(np.abs(evals[0]), 1.0)
+        converged = bool(m < steps or steps >= orig_dim or
+                         resid <= tol * scale)
+        if converged or steps >= 4 * max_steps:
+            break
+        if 2 * steps * dim * itemsize > krylov_budget_bytes:
+            if num_states > 1 or restarts >= 8:
+                break
+            # memory-bounded restart from the current Ritz vector
+            restarts += 1
+            w = jnp.asarray(np.vstack([evecs[:, :1],
+                                       np.zeros((steps - m, 1))]),
+                            dtype=V.dtype)
+            v_r = (V.T @ w)[:, 0]
+            v0 = v_r / jnp.linalg.norm(v_r)
+            continue
+        steps = int(min(orig_dim, steps * 2))
+    if not converged and strict:
+        raise RuntimeError(
+            f"distributed Lanczos failed to converge: relative residual "
+            f"{resid / scale:.3e} > tol {tol:.1e} after {steps} steps "
+            f"at dim {orig_dim}")
     evals, vecs = lz.finish_lanczos(alphas, betas, V, num_states)
-    return evals, np.asarray(vecs)[:, :orig_dim]
+    return ret(evals, np.asarray(vecs)[:, :orig_dim],
+               SolveInfo(converged, resid / scale, steps))
 
 
 def lanczos_step(ham, v, v_prev, beta_prev):
@@ -110,7 +208,7 @@ def jit_lanczos_step(mesh: Mesh):
 
 def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
                               seed: int = 7239443, max_steps: int = 200,
-                              prefer_kron: bool = True):
+                              prefer_kron: bool = True, **solve_kw):
     """Row-sharded computeAllStatesBelow over a device mesh.
 
     Spin-factorizable Hamiltonians run in distributed Kronecker form
@@ -121,7 +219,7 @@ def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
     trimmed back to the unpadded dimension."""
     sham = shard_for_mesh(ham, mesh, prefer_kron=prefer_kron)
     return sharded_selective_solve(sham, mesh, ham.dim, num_states,
-                                   seed, max_steps)
+                                   seed, max_steps, **solve_kw)
 
 
 def _padded_random_block(dim, dimp, num_vectors, dtype, seed, mesh):

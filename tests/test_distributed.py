@@ -201,3 +201,74 @@ def test_kron_halo_lowest_states_matches():
     assert evals_h[0] == pytest.approx(evals_s[0], abs=1e-9)
     ov = abs(np.vdot(vecs_h[0], np.asarray(vecs_s[0])))
     assert ov == pytest.approx(1.0, abs=1e-7)
+
+
+def test_distributed_budget_forces_two_pass():
+    """A Krylov budget too small for the stored basis routes the
+    distributed solve through the plain two-pass path, and the energy
+    still matches the single-device two-pass solve (same seed => same
+    start vector => same recurrence up to shard reduction order)."""
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    steps = 120
+    budget = steps * ham.dim * 8 // 2  # half the stored-V bytes
+    evals_d, vecs_d, info = pmesh.distributed_lowest_states(
+        ham, mesh, max_steps=steps, krylov_budget_bytes=budget,
+        return_info=True)
+    assert np.isnan(info.residual)  # plain path: no stored basis
+    evals_s, vecs_s = lz.lowest_states_plain(ham, max_steps=steps)
+    assert evals_d[0] == pytest.approx(evals_s[0], abs=1e-9)
+    ov = abs(np.vdot(vecs_d[0], np.asarray(vecs_s[0])))
+    assert ov == pytest.approx(1.0, abs=1e-7)
+
+
+def test_distributed_unconverged_reports_flag():
+    """max_steps too small to converge: the distributed solve returns
+    converged=False in its SolveInfo instead of silently succeeding."""
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    evals, vecs, info = pmesh.distributed_lowest_states(
+        ham, mesh, max_steps=2, tol=1e-14, return_info=True)
+    assert not info.converged
+    assert info.residual > 0
+    with pytest.raises(RuntimeError, match="residual"):
+        pmesh.distributed_lowest_states(ham, mesh, max_steps=2,
+                                        tol=1e-14, strict=True)
+
+
+def test_distributed_memory_bounded_restart():
+    """When the budget admits the initial basis but blocks doubling,
+    the distributed solver restarts from the Ritz vector (single
+    state) and still converges."""
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    steps = 40
+    # fits the initial 40-step basis at the PADDED kron dim (rows pad
+    # to a multiple of ndev) but blocks the doubling to 80 steps
+    budget = int(1.5 * steps * ham.dim * 8)
+    evals_d, vecs_d, info = pmesh.distributed_lowest_states(
+        ham, mesh, max_steps=steps, krylov_budget_bytes=budget,
+        return_info=True)
+    assert not np.isnan(info.residual)  # stored-basis path, not plain
+    assert info.converged
+    evals_s, _ = lz.lowest_states(ham, max_steps=120)
+    assert evals_d[0] == pytest.approx(evals_s[0], abs=1e-8)
+
+
+def test_halo_and_kron_solvers_accept_solve_kw():
+    """tol/budget/return_info thread through halo_lowest_states and
+    kron_lowest_states to the shared driver."""
+    from lanczosplusplus_tpu.parallel.halo import halo_lowest_states
+    from lanczosplusplus_tpu.parallel.kron import kron_lowest_states
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    evals_s, _ = lz.lowest_states(ham, max_steps=120)
+    e_h, _, info_h = halo_lowest_states(ham, mesh, max_steps=120,
+                                        return_info=True)
+    assert info_h.converged
+    assert e_h[0] == pytest.approx(evals_s[0], abs=1e-9)
+    e_k, _, info_k = kron_lowest_states(ham, mesh, max_steps=120,
+                                        return_info=True)
+    assert info_k.converged
+    assert e_k[0] == pytest.approx(evals_s[0], abs=1e-9)
