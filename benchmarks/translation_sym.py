@@ -1,12 +1,13 @@
-"""Translation symmetry at ~1e6-dim (VERDICT round-1 item 9).
+"""Translation/reflection symmetry at ~1e6-dim (VERDICT items r1-9, r2-6).
 
-14-site half-periodic Hubbard chain, (4, 4) sector: dim 1 002 001.
-The row-restricted momentum-block construction (symmetry/blocks.py)
-never materializes the full-sector CSR; all 14 k-blocks (~72k dim
-each) are built and solved, and min_k E0(k) must equal the
-unsymmetrized sector ground energy.
+14-site Hubbard chain, (4, 4) sector: dim 1 002 001.  The
+row-restricted block construction (symmetry/blocks.py) never
+materializes the full-sector CSR; all symmetry blocks are built and
+solved, and min_s E0(s) must equal the unsymmetrized sector ground
+energy.  Default: periodic chain, 14 momentum blocks.  With
+--reflection: open chain, the two parity blocks (~501k dim each).
 
-Usage: JAX_PLATFORMS=cpu PYTHONPATH=. python benchmarks/translation_sym.py
+Usage: PYTHONPATH=. python benchmarks/translation_sym.py [--reflection]
 """
 
 import json
@@ -29,9 +30,11 @@ def main():
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
     from lanczosplusplus_tpu.models import build_model
-    from lanczosplusplus_tpu.symmetry import TranslationSymmetry
+    from lanczosplusplus_tpu.symmetry import (ReflectionSymmetry,
+                                               TranslationSymmetry)
     from lanczosplusplus_tpu.solver import lanczos as lz
 
+    reflection = "--reflection" in sys.argv
     nsite = 14
     text = f"""
 TotalNumberOfSites={nsite}
@@ -46,7 +49,7 @@ potentialV {2 * nsite} {" ".join(["0"] * 2 * nsite)}
 SolverOptions=none
 TargetElectronsUp=4
 TargetElectronsDown=4
-IsPeriodicX=1
+IsPeriodicX={0 if reflection else 1}
 """
     inp = parse_input(text)
     geom = Geometry(inp)
@@ -59,7 +62,8 @@ IsPeriodicX=1
     t_plain = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    sym = TranslationSymmetry(basis, geom, model)
+    sym = (ReflectionSymmetry(basis, geom, model) if reflection
+           else TranslationSymmetry(basis, geom, model))
     t_build = time.perf_counter() - t0
     best = None
     t0 = time.perf_counter()
@@ -74,6 +78,7 @@ IsPeriodicX=1
         best = e if best is None else min(best, e)
     t_blocks = time.perf_counter() - t0
     print(json.dumps({
+        "symmetry": "reflection" if reflection else "translation",
         "dim": basis.size,
         "e0_plain": float(e_plain[0]),
         "e0_sym": best,

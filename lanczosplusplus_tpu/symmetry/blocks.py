@@ -146,139 +146,37 @@ class DefaultSymmetry:
         return np.asarray(vec)
 
 
-class _ProjectedSymmetry:
-    """Shared machinery: a unitary U (rows = symmetry-adapted bras
-    grouped by sector) applied to the sector Hamiltonian."""
+class _OrbitBlockSymmetry:
+    """Shared row-restricted machinery for symmetry-adapted blocks of
+    an abelian group acting by signed state permutations.
 
-    atol = 1e-9
+    A subclass provides the composed group action (`g_tgt`, `g_sign`,
+    both (G, dim)) and a character table `chars` (S, G); the base
+    assembles each sector's block ELL from the representative ROWS of
+    the flat term index maps alone —
 
-    def _finish(self, rows, sector_sizes, model, basis, dtype):
-        u = sp.vstack(rows).tocsr()
-        self.u = u
-        self.sector_sizes = sector_sizes
-        ham = model.hamiltonian(basis, dtype=dtype)
-        h = _ham_to_csr(ham).astype(u.dtype)
-        rotated = (u @ h @ u.conj().T).tocsr()
-        rotated.data[np.abs(rotated.data) < 1e-12] = 0
-        rotated.eliminate_zeros()
-        # validate block-diagonality
-        offs = np.concatenate([[0], np.cumsum(sector_sizes)])
-        self._blocks = []
-        coo = rotated.tocoo()
-        sector_of = np.searchsorted(offs, np.arange(u.shape[0]),
-                                    side="right") - 1
-        bad = sector_of[coo.row] != sector_of[coo.col]
-        if np.any(np.abs(coo.data[bad]) > self.atol):
-            raise ValueError(
-                "Hamiltonian does not commute with the symmetry "
-                "(off-block elements found)")
-        for s in range(len(sector_sizes)):
-            lo, hi = offs[s], offs[s + 1]
-            self._blocks.append(rotated[lo:hi, lo:hi])
-        self._offsets = offs
-
-    def sectors(self) -> int:
-        return len(self.sector_sizes)
-
-    def block_hamiltonian(self, s, dtype=np.float64) -> Hamiltonian | None:
-        if self.sector_sizes[s] == 0:
-            return None
-        block = self._blocks[s]
-        if np.iscomplexobj(block.data):
-            # probe the stored data array directly: np.abs(csr.imag)
-            # writes |imag| back through scipy's .imag data view,
-            # corrupting the block
-            imag_max = float(np.max(np.abs(block.data.imag))) \
-                if block.nnz else 0.0
-            if imag_max < 1e-10:
-                block = block.real
-                return _csr_to_ell_ham(block.tocsr(), dtype)
-            cdtype = np.complex128 if dtype == np.float64 else np.complex64
-            return _csr_to_ell_ham(block.tocsr(), cdtype)
-        return _csr_to_ell_ham(block.tocsr(), dtype)
-
-    def transform(self, vec, sector):
-        """Back to the site basis: U^dag (vec embedded at the sector
-        offset) (reference: ProgramGlobals::transform)."""
-        lo = self._offsets[sector]
-        full = np.zeros(self.u.shape[0], dtype=complex)
-        full[lo:lo + len(vec)] = np.asarray(vec)
-        out = self.u.conj().T @ full
-        if np.abs(out.imag).max() < 1e-10:
-            return out.real
-        return out
-
-
-class TranslationSymmetry:
-    """Momentum blocks over the lattice translation group (reference:
-    TranslationSymmetry.h), built WITHOUT materializing the full-sector
-    CSR or the dense projector: each momentum block's ELL comes from
-    the representative ROWS of the term index maps alone —
-
-        H_k[a, b] = G * sum_{slots of row rep_a} val * w_k[col]
+        H_s[a, b] = G * sum_{slots of row rep_a} val * w_s[col]
                       / (||v_a|| ||v_b||),   b = orbit(col)
 
-    where w_k[x] = sum_g phase_k(g) sigma_g(b) [x = g . rep_b] is the
+    where w_s[x] = sum_g chars[s, g] sigma_g(b) [x = g . rep_b] is the
     symmetry-adapted amplitude table (one O(dim) pass per group
-    element).  O(dim * K / |G|) per block — sectors that motivate the
-    TPU in the first place stay reachable.
+    element).  NO full-sector CSR, NO dense projector, NO U.H.U^dag
+    SpGEMM: O(dim * K / G) per block, so the sectors that motivate the
+    TPU stay reachable (the O(dim^2) projector this replaces topped out
+    at toy dims)."""
 
-    `use_y=True` (input label UseTranslationSymmetry=2) extends the
-    group with the second ladder direction (the product of the two
-    commuting cyclic translation groups; the reference supports
-    direction 0 only).  Commutation [H, T] = 0 is validated by a
-    randomized identity check instead of the dense off-block scan."""
-
-    def __init__(self, basis, geometry, model, fermionic=True,
-                 dtype=np.float64, use_y=False):
-        nsite = geometry.number_of_sites()
-        lx = geometry.length(0)
-        ly = geometry.length(1) if use_y else 1
-        dim = basis.size
-        self.basis = basis
-        ham = model.hamiltonian(basis, dtype=dtype)
+    def _setup(self, ham, g_tgt, g_sign, chars, dtype):
+        dim = g_tgt.shape[1]
         self._ham = ham
-
-        permx = np.array([geometry.translate(s, 0, 1)
-                          for s in range(nsite)])
-        stepx = _StatePermutation(basis, permx, fermionic)
-        steps = [(lx, stepx)]
-        if ly > 1:
-            permy = np.array([geometry.translate(s, 1, 1)
-                              for s in range(nsite)])
-            steps.append((ly, _StatePermutation(basis, permy,
-                                                fermionic)))
-        self._validate_commutation(ham, steps, dim)
-
-        # composed group maps g = Ty^ry Tx^rx: (G, dim) index + sign
-        g_tgt = np.empty((ly, lx, dim), dtype=np.int64)
-        g_sign = np.empty((ly, lx, dim))
-        g_tgt[0, 0] = np.arange(dim)
-        g_sign[0, 0] = 1.0
-        for rx in range(lx - 1):
-            g_tgt[0, rx + 1] = stepx.tgt[g_tgt[0, rx]]
-            g_sign[0, rx + 1] = g_sign[0, rx] * \
-                stepx.sign[g_tgt[0, rx]]
-        if ly > 1:
-            stepy = steps[1][1]
-            for ry in range(ly - 1):
-                g_tgt[ry + 1] = stepy.tgt[g_tgt[ry]]
-                g_sign[ry + 1] = g_sign[ry] * stepy.sign[g_tgt[ry]]
         self._g_tgt = g_tgt
         self._g_sign = g_sign
-        self.lx, self.ly = lx, ly
-
-        # orbits
-        orbit_of = np.full(dim, -1, dtype=np.int64)
-        reps = []
-        flat_tgt = g_tgt.reshape(-1, dim)
-        for s0 in range(dim):
-            if orbit_of[s0] >= 0:
-                continue
-            orbit_of[flat_tgt[:, s0]] = len(reps)
-            reps.append(s0)
-        reps = np.asarray(reps, dtype=np.int64)
-        self._orbit_of = orbit_of
+        self._chars = np.asarray(chars, dtype=np.complex128)
+        # orbits: the canonical element of each orbit is its minimum
+        # over the group action, so one vectorized min + unique pass
+        # replaces a per-state scan
+        canon = g_tgt.min(axis=0)
+        reps = np.unique(canon)
+        self._orbit_of = np.searchsorted(reps, canon)
         self._reps = reps
 
         # restricted rows of the flat ELL (built once)
@@ -287,29 +185,26 @@ class TranslationSymmetry:
         self._rep_vals = np.asarray(h.ell.vals)[reps]
         self._rep_diag = np.asarray(h.diag)[reps]
         self._dtype = dtype
-        self._momenta = [(kx, ky) for ky in range(ly)
-                         for kx in range(lx)]
         self._sector_cache = {}
-        # per-sector norms (needed for sizes); w tables rebuilt on use
         total = 0
         self._sector_rows = []
-        for (kx, ky) in self._momenta:
-            w, norm2 = self._w_table(kx, ky)
+        for s in range(self._chars.shape[0]):
+            w, norm2 = self._w_table(s)
             rows = np.nonzero(norm2 > 1e-8)[0]
             self._sector_rows.append(rows)
             total += rows.shape[0]
         if total != dim:
-            raise ValueError(
-                f"translation blocks sum {total} != {dim}")
+            raise ValueError(f"symmetry blocks sum {total} != {dim}")
 
-    def _validate_commutation(self, ham, steps, dim):
-        """[H, T] = 0 on random vectors, signs included (replaces the
-        reference's off-block scan, TranslationSymmetry.h:359-393)."""
+    def _validate_commutation(self, ham, generators, dim):
+        """[H, g] = 0 on a random vector, signs included (replaces the
+        reference's off-block scan, TranslationSymmetry.h:359-393,
+        ReflectionSymmetry.h:302-331)."""
         rng = np.random.default_rng(11)
         z = rng.standard_normal(dim)
         hz = np.asarray(ham.matvec(jnp.asarray(
             z.astype(np.asarray(ham.diag).dtype))))
-        for (_, step) in steps:
+        for step in generators:
             tz = np.zeros(dim)
             np.add.at(tz, step.tgt, step.sign * z)
             htz = np.asarray(ham.matvec(jnp.asarray(
@@ -321,26 +216,23 @@ class TranslationSymmetry:
             if err > 1e-8 * scale:
                 raise ValueError(
                     "Hamiltonian does not commute with the "
-                    f"translation (residual {err:.2e})")
+                    f"symmetry (residual {err:.2e})")
 
-    def _w_table(self, kx, ky):
-        """w[x] = sum_g phase sigma [x = g rep(x)], plus per-orbit
+    def _w_table(self, s):
+        """w[x] = sum_g chars[s,g] sigma [x = g rep(x)], plus per-orbit
         norm^2 (= ||v_b||^2)."""
-        dim = self._g_tgt.shape[2]
+        dim = self._g_tgt.shape[1]
         w = np.zeros(dim, dtype=np.complex128)
-        for ry in range(self.ly):
-            for rx in range(self.lx):
-                ph = np.exp(2j * np.pi * (kx * rx / self.lx
-                                          + ky * ry / self.ly))
-                members = self._g_tgt[ry, rx, self._reps]
-                np.add.at(w, members,
-                          ph * self._g_sign[ry, rx, self._reps])
+        for g in range(self._g_tgt.shape[0]):
+            members = self._g_tgt[g, self._reps]
+            np.add.at(w, members,
+                      self._chars[s, g] * self._g_sign[g, self._reps])
         norm2 = np.zeros(self._reps.shape[0])
         np.add.at(norm2, self._orbit_of, np.abs(w) ** 2)
         return w, norm2
 
     def sectors(self) -> int:
-        return len(self._momenta)
+        return len(self._sector_rows)
 
     def block_hamiltonian(self, s, dtype=None):
         dtype = dtype or self._dtype
@@ -349,12 +241,11 @@ class TranslationSymmetry:
             return None
         if s in self._sector_cache:
             return self._sector_cache[s]
-        kx, ky = self._momenta[s]
-        w, norm2 = self._w_table(kx, ky)
+        w, norm2 = self._w_table(s)
         nb = rows.shape[0]
         kidx = np.full(self._reps.shape[0], -1, dtype=np.int64)
         kidx[rows] = np.arange(nb)
-        g = self.lx * self.ly
+        g = self._g_tgt.shape[0]
         inv_norm = np.zeros_like(norm2)
         inv_norm[rows] = 1.0 / np.sqrt(norm2[rows])
         cols = self._rep_cols[rows]            # (nb, K) global states
@@ -386,8 +277,7 @@ class TranslationSymmetry:
 
     def transform(self, vec, sector):
         """Back to the site basis: psi[x] = c[orbit(x)] w[x]/||v||."""
-        kx, ky = self._momenta[sector]
-        w, norm2 = self._w_table(kx, ky)
+        w, norm2 = self._w_table(sector)
         rows = self._sector_rows[sector]
         c_full = np.zeros(self._reps.shape[0], dtype=np.complex128)
         inv_norm = np.zeros_like(norm2)
@@ -399,9 +289,73 @@ class TranslationSymmetry:
         return out
 
 
-class ReflectionSymmetry(_ProjectedSymmetry):
+class TranslationSymmetry(_OrbitBlockSymmetry):
+    """Momentum blocks over the lattice translation group (reference:
+    TranslationSymmetry.h) on the shared row-restricted machinery
+    (_OrbitBlockSymmetry): characters exp(2i pi (kx rx/lx + ky ry/ly))
+    over the cyclic product group.
+
+    `use_y=True` (input label UseTranslationSymmetry=2) extends the
+    group with the second ladder direction (the product of the two
+    commuting cyclic translation groups; the reference supports
+    direction 0 only).  Commutation [H, T] = 0 is validated by a
+    randomized identity check instead of the dense off-block scan."""
+
+    def __init__(self, basis, geometry, model, fermionic=True,
+                 dtype=np.float64, use_y=False):
+        nsite = geometry.number_of_sites()
+        lx = geometry.length(0)
+        ly = geometry.length(1) if use_y else 1
+        dim = basis.size
+        self.basis = basis
+        ham = model.hamiltonian(basis, dtype=dtype)
+
+        permx = np.array([geometry.translate(s, 0, 1)
+                          for s in range(nsite)])
+        stepx = _StatePermutation(basis, permx, fermionic)
+        gens = [stepx]
+        if ly > 1:
+            permy = np.array([geometry.translate(s, 1, 1)
+                              for s in range(nsite)])
+            gens.append(_StatePermutation(basis, permy, fermionic))
+        self._validate_commutation(ham, gens, dim)
+
+        # composed group maps g = Ty^ry Tx^rx: (ly, lx, dim) index+sign
+        g_tgt = np.empty((ly, lx, dim), dtype=np.int64)
+        g_sign = np.empty((ly, lx, dim))
+        g_tgt[0, 0] = np.arange(dim)
+        g_sign[0, 0] = 1.0
+        for rx in range(lx - 1):
+            g_tgt[0, rx + 1] = stepx.tgt[g_tgt[0, rx]]
+            g_sign[0, rx + 1] = g_sign[0, rx] * \
+                stepx.sign[g_tgt[0, rx]]
+        if ly > 1:
+            stepy = gens[1]
+            for ry in range(ly - 1):
+                g_tgt[ry + 1] = stepy.tgt[g_tgt[ry]]
+                g_sign[ry + 1] = g_sign[ry] * stepy.sign[g_tgt[ry]]
+        self.lx, self.ly = lx, ly
+        self._momenta = [(kx, ky) for ky in range(ly)
+                         for kx in range(lx)]
+        # characters over the flattened group index g = ry * lx + rx
+        rys, rxs = np.divmod(np.arange(ly * lx), lx)
+        chars = np.stack([
+            np.exp(2j * np.pi * (kx * rxs / lx + ky * rys / ly))
+            for (kx, ky) in self._momenta])
+        self._setup(ham, g_tgt.reshape(-1, dim),
+                    g_sign.reshape(-1, dim), chars, dtype)
+
+
+class ReflectionSymmetry(_OrbitBlockSymmetry):
     """Parity (+/-) blocks under the lattice reflection (reference:
-    ReflectionSymmetry.h)."""
+    ReflectionSymmetry.h) on the same row-restricted machinery as
+    TranslationSymmetry: the group is {1, R} with characters (+1, +1)
+    and (+1, -1), orbits are the {s, Rs} pairs (fixed points live in
+    the sector their sign selects), and each block's ELL comes from
+    representative rows — no per-state dense projector rows, no
+    full-sector CSR, no U.H.U^dag SpGEMM (the O(dim^2) construction
+    this replaces; reference builds the plus/minus permutation directly,
+    ReflectionSymmetry.h:66-190)."""
 
     def __init__(self, basis, geometry, model, fermionic=True,
                  dtype=np.float64):
@@ -410,33 +364,13 @@ class ReflectionSymmetry(_ProjectedSymmetry):
                          for s in range(nsite)])
         refl = _StatePermutation(basis, perm, fermionic)
         dim = basis.size
-        plus_rows, minus_rows = [], []
-        seen = np.zeros(dim, dtype=bool)
-        inv_sqrt2 = 1.0 / np.sqrt(2.0)
-        for s in range(dim):
-            if seen[s]:
-                continue
-            t = refl.tgt[s]
-            sg = refl.sign[s]
-            seen[s] = True
-            if t == s:
-                v = np.zeros(dim)
-                v[s] = 1.0
-                (plus_rows if sg > 0 else minus_rows).append(
-                    sp.csr_matrix(v[None, :]))
-                continue
-            seen[t] = True
-            vp = np.zeros(dim)
-            vp[s] = inv_sqrt2
-            vp[t] = inv_sqrt2 * sg
-            vm = np.zeros(dim)
-            vm[s] = inv_sqrt2
-            vm[t] = -inv_sqrt2 * sg
-            plus_rows.append(sp.csr_matrix(vp[None, :]))
-            minus_rows.append(sp.csr_matrix(vm[None, :]))
-        rows = plus_rows + minus_rows
-        self._finish(rows, [len(plus_rows), len(minus_rows)],
-                     model, basis, dtype)
+        ham = model.hamiltonian(basis, dtype=dtype)
+        self.basis = basis
+        self._validate_commutation(ham, [refl], dim)
+        g_tgt = np.stack([np.arange(dim, dtype=np.int64), refl.tgt])
+        g_sign = np.stack([np.ones(dim), refl.sign])
+        chars = np.array([[1.0, 1.0], [1.0, -1.0]])
+        self._setup(ham, g_tgt, g_sign, chars, dtype)
 
 
 def build_symmetry(inp, basis, geometry, model, fermionic=True):

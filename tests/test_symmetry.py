@@ -215,3 +215,72 @@ def test_translation_transform_roundtrip():
             np.asarray(ham.matvec(jnp.asarray(psi))) - ev[0] * psi)
         assert resid < 1e-7, (s, resid)
         break
+
+
+def test_reflection_medium_sector_scales():
+    """The reflection blocks now use the same row-restricted
+    construction as translation: a ~50k-dim sector builds without the
+    O(dim^2) dense projector rows, and the min-block ground energy
+    matches the unsymmetrized solve (VERDICT round-2 item 6;
+    benchmarks/translation_sym.py --reflection runs the ~1e6-dim
+    version)."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+
+    text = """
+TotalNumberOfSites=12
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 12
+4 4 4 4 4 4 4 4 4 4 4 4
+potentialV 24
+0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=3
+TargetElectronsDown=3
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((3, 3))
+    assert basis.size == 48400
+    ham = model.hamiltonian(basis)
+    e_plain, _ = lz.lowest_states(ham, max_steps=200)
+    sym = ReflectionSymmetry(basis, geom, model)
+    sizes = [len(r) for r in sym._sector_rows]
+    assert sum(sizes) == basis.size and min(sizes) > 0
+    best = None
+    for s in range(sym.sectors()):
+        blk = sym.block_hamiltonian(s)
+        if blk is None:
+            continue
+        ev, _ = lz.lowest_states(blk, max_steps=200)
+        best = ev[0] if best is None else min(best, ev[0])
+    assert best == pytest.approx(float(e_plain[0]), abs=1e-10)
+
+
+def test_reflection_transform_roundtrip():
+    """Reflection transform() returns a true eigenvector in the site
+    basis (both parity sectors)."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+    import jax.numpy as jnp
+
+    inp, geom, model, basis = setup(HUB, periodic=0)
+    ham = model.hamiltonian(basis)
+    sym = ReflectionSymmetry(basis, geom, model, fermionic=True)
+    checked = 0
+    for s in range(sym.sectors()):
+        blk = sym.block_hamiltonian(s)
+        if blk is None or blk.dim < 2:
+            continue
+        ev, vecs = lz.lowest_states(blk, max_steps=100)
+        psi = sym.transform(np.asarray(vecs[0]), s)
+        resid = np.linalg.norm(
+            np.asarray(ham.matvec(jnp.asarray(psi))) - ev[0] * psi)
+        assert resid < 1e-7, (s, resid)
+        checked += 1
+    assert checked == 2
