@@ -168,6 +168,61 @@ Connectors 1 {v}
     return model.block_kron_hamiltonian(basis, dtype=dtype)
 
 
+def _time_stripped(bk_ham, x, iters):
+    """ms/matvec of a BlockKronHamiltonian with its PermCrossTerms
+    stripped — the GEMM-vs-gather breakdown of the factored sections."""
+    import dataclasses
+    stripped = dataclasses.replace(bk_ham, perm_cross=())
+    mv = jax.jit(lambda h, v: h.matvec(v))
+    x = x / jnp.linalg.norm(x)
+    y = mv(stripped, x)
+    y.block_until_ready()
+    _ = float(y[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = mv(stripped, x)
+    x.block_until_ready()
+    _ = float(x[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def _host_f64_oracle(bk_ham, k=1):
+    """Independent f64 ground energy: scipy Lanczos over the host
+    float64 matvec of the factored form (the same oracle role the
+    reference's dense fullDiag plays, DefaultSymmetry.h:80-94)."""
+    import scipy.sparse.linalg as spla
+    from lanczosplusplus_tpu.ops.df64 import host_matvec_f64
+
+    op = spla.LinearOperator(
+        (bk_ham.dim, bk_ham.dim),
+        matvec=lambda v: host_matvec_f64(bk_ham, v.astype(np.float64)))
+    vals = spla.eigsh(op, k=k, which="SA",
+                      return_eigenvectors=False, tol=1e-12)
+    return float(np.min(vals))
+
+
+def build_kitaev_factored(nsite, dtype=np.float32):
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.kitaev_factored import \
+        build_factored_kitaev
+
+    term = """DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {v}
+"""
+    text = (f"TotalNumberOfSites={nsite}\nNumberOfTerms=3\n"
+            + term.format(v=1.1) + term.format(v=0.7)
+            + term.format(v=0.9)
+            + "Model=Kitaev\nSolverOptions=none\nIsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(None)
+    return build_factored_kitaev(model, basis, dtype=dtype)
+
+
 def main():
     platform = jax.devices()[0].platform
     nsite = 14 if platform != "cpu" else 10
@@ -314,6 +369,9 @@ def main():
     dt_tj = (time.perf_counter() - t0) / iters
     tj_nnz = tj_ham.nnz
     tj_dim = tj_ham.dim
+    # cross-term share: time the same form with perm_cross stripped
+    # (VERDICT r2 item 8 — makes PermCrossTerm regressions visible)
+    dt_tj_nocross = _time_stripped(tj_ham, xt, iters)
 
     # -- Rashba SOC sector in block-Kronecker form ---------------------
     # (union basis over (nup, ndown); the flat path is whole-dim
@@ -336,6 +394,7 @@ def main():
     dt_ra = (time.perf_counter() - t0) / iters
     ra_nnz = ra_ham.nnz
     ra_dim = ra_ham.dim
+    dt_ra_nocross = _time_stripped(ra_ham, xr, iters)
     del ra_ham, xr, yr
     gc.collect()
 
@@ -382,6 +441,37 @@ IsPeriodicX=1
     heis_exact = -5.387390917445  # Bethe ansatz, N=12 PBC
     heis_rel_err = abs(float(e_h[0]) - heis_exact) / abs(heis_exact)
 
+    # -- refined energies of the FACTORED forms vs f64 oracles --------
+    # (VERDICT r2 item 3 "done" bar: factored t-J and Kitaev report
+    # <= 1e-10 relative after the host-f64 Rayleigh refinement)
+    tj_small = build_tj_factored(10, 4, 4, dtype=np.float32)
+    e_tj, _ = lowest_states(tj_small, max_steps=160)
+    e_tj_oracle = _host_f64_oracle(tj_small)
+    tj_ref_err = abs(float(e_tj[0]) - e_tj_oracle) / abs(e_tj_oracle)
+    kit_small = build_kitaev_factored(12, dtype=np.float32)
+    e_k, _ = lowest_states(kit_small, max_steps=160)
+    e_k_oracle = _host_f64_oracle(kit_small)
+    kit_ref_err = abs(float(e_k[0]) - e_k_oracle) / abs(e_k_oracle)
+    del tj_small, kit_small
+    gc.collect()
+
+    # -- chip-health recheck -------------------------------------------
+    # back-to-back HBM OOMs can leave the chip uniformly ~8x slow
+    # (BASELINE.md); re-time the headline matvec (same compiled trace)
+    # and flag the run when it no longer reproduces
+    xh = jax.random.normal(key, (dim,), jnp.float32)
+    xh = xh / jnp.linalg.norm(xh)
+    yh = matvec(ham, xh)
+    yh.block_until_ready()
+    _ = float(yh[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        xh = matvec(ham, xh)
+    xh.block_until_ready()
+    _ = float(xh[0])
+    dt_recheck = (time.perf_counter() - t0) / 10
+    chip_healthy = bool(dt_recheck < 1.5 * dt)
+
     # bytes moved per matvec: index + value per nnz (int32 + f32 for the
     # factorized maps are amortized over the Kronecker batch, but each
     # gathered x element is a real read) + vector reads/writes
@@ -427,15 +517,25 @@ IsPeriodicX=1
             "tj_nnz": tj_nnz,
             "tj_ms_per_matvec": round(dt_tj * 1e3, 3),
             "tj_factored_gnnz_per_s": round(tj_nnz / dt_tj / 1e9, 1),
+            "tj_ms_gemm_only": round(dt_tj_nocross * 1e3, 3),
+            "tj_cross_share": round(1 - dt_tj_nocross / dt_tj, 3),
             "rashba_nsite": ra_nsite,
             "rashba_dim": ra_dim,
             "rashba_nnz": ra_nnz,
             "rashba_ms_per_matvec": round(dt_ra * 1e3, 3),
             "rashba_blockkron_gnnz_per_s":
                 round(ra_nnz / dt_ra / 1e9, 1),
+            "rashba_ms_gemm_only": round(dt_ra_nocross * 1e3, 3),
+            "rashba_cross_share": round(1 - dt_ra_nocross / dt_ra, 3),
             "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
             "e0_heisenberg12_refined_rel_err":
                 float(f"{heis_rel_err:.3g}"),
+            "e0_tj10_factored_refined_rel_err":
+                float(f"{tj_ref_err:.3g}"),
+            "e0_kitaev12_factored_refined_rel_err":
+                float(f"{kit_ref_err:.3g}"),
+            "headline_recheck_ms": round(dt_recheck * 1e3, 3),
+            "chip_healthy": chip_healthy,
         },
     }))
 

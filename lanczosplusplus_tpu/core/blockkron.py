@@ -75,6 +75,41 @@ class PermCrossTerm:
     dst: int = dataclasses.field(metadata=dict(static=True))
 
 
+def _perm_cross_apply(t: "PermCrossTerm", xsrc: jax.Array) -> jax.Array:
+    """(rows_dst, cols_dst) contribution of one PermCrossTerm.
+
+    Applied bond-by-bond with 1-D-index gathers only: this TPU's XLA
+    lowers 1-D-index row/column gathers on 2-D blocks to vectorized
+    slice gathers (~150-225 GB/s measured), while any N-D fancy gather
+    or take_along_axis lowers to per-element gathers that run ~400x
+    slower (measured in benchmarks/permcross_variants.py — a fully
+    vectorized stacked-gather rewrite was 350x SLOWER than this loop at
+    the Rashba-13 bench shapes)."""
+    nb = t.row_src.shape[0]
+    acc = None
+    for n in range(nb):
+        rows = xsrc[t.row_src[n]]              # (r_dst, c_src)
+        term = (t.row_amp[n][:, None] * rows[:, t.col_src[n]]
+                * t.col_amp[n][None, :])
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _perm_cross_apply_batched(t: "PermCrossTerm",
+                              xsrc: jax.Array) -> jax.Array:
+    """Batched (k, rows_dst, cols_dst) version of `_perm_cross_apply`
+    for the SpMM recurrence; xsrc is (k, rows_src, cols_src)."""
+    nb = t.row_src.shape[0]
+    acc = None
+    for n in range(nb):
+        rows = xsrc[:, t.row_src[n]]           # (k, r_dst, c_src)
+        term = (t.row_amp[n][None, :, None]
+                * rows[:, :, t.col_src[n]]
+                * t.col_amp[n][None, None, :])
+        acc = term if acc is None else acc + term
+    return acc
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockKronHamiltonian:
@@ -148,12 +183,7 @@ class BlockKronHamiltonian:
                 ys[t.src] = ys[t.src] + jnp.einsum(
                     "nor,noc->rc", jnp.conj(t.left), t2, **pet)
         for t in self.perm_cross:
-            x = xs[t.src]
-            for n in range(t.row_src.shape[0]):
-                rows = x[t.row_src[n]]                 # (r_dst, c_src)
-                ys[t.dst] = ys[t.dst] + (
-                    t.row_amp[n][:, None] * rows[:, t.col_src[n]]
-                    * t.col_amp[n][None, :])
+            ys[t.dst] = ys[t.dst] + _perm_cross_apply(t, xs[t.src])
         return jnp.concatenate([y.reshape(-1) for y in ys])
 
     def matmat_t(self, xk):
@@ -190,13 +220,8 @@ class BlockKronHamiltonian:
                 ys[t.src] = ys[t.src] + jnp.einsum(
                     "nor,knoc->krc", jnp.conj(t.left), t2, **pet)
         for t in self.perm_cross:
-            x = xs[t.src]
-            for n in range(t.row_src.shape[0]):
-                rows = x[:, t.row_src[n]]            # (k, r_dst, c_src)
-                ys[t.dst] = ys[t.dst] + (
-                    t.row_amp[n][None, :, None]
-                    * rows[:, :, t.col_src[n]]
-                    * t.col_amp[n][None, None, :])
+            ys[t.dst] = ys[t.dst] + _perm_cross_apply_batched(
+                t, xs[t.src])
         return jnp.concatenate(
             [y.reshape(k, -1) for y in ys], axis=1)
 

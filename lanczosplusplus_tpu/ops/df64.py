@@ -213,6 +213,16 @@ def host_matvec_f64(ham, v) -> np.ndarray:
             off += r * c
         ys = _host_matvec_blockkron(ham, xs, ctype)
         return np.concatenate([y.reshape(-1) for y in ys])
+    if hasattr(ham, "hr_t"):            # FactoredKitaevHamiltonian
+        dl, dr = ham.diag2d.shape
+        xm = x.reshape(dl, dr)
+        y = _np64(ham.diag2d, ctype) * xm
+        y = y + _np64(ham.hl, ctype) @ xm
+        y = y + xm @ _np64(ham.hr_t, ctype)
+        if ham.p.shape[0]:
+            px = np.einsum("kab,bd->kad", _np64(ham.p, ctype), xm)
+            y = y + np.einsum("kad,kcd->ac", px, _np64(ham.q, ctype))
+        return y.reshape(-1)
     # flat Hamiltonian: always via the gather maps (kept alongside the
     # densified factors; exact in f64)
     y = _np64(ham.diag, ctype) * x
@@ -264,6 +274,10 @@ def refinement_flops(ham) -> float:
             n += 3.0 * t.row_src.shape[0] * t.row_src.shape[1] \
                 * t.col_src.shape[1]
         return n
+    if hasattr(ham, "hr_t"):            # FactoredKitaevHamiltonian
+        dl, dr = ham.diag2d.shape
+        k = int(ham.p.shape[0])
+        return float(dl * dr + 2.0 * (1 + k) * dl * dr * (dl + dr))
     n = 2.0 * ham.dim
     if getattr(ham, "factorized", None) is not None:
         f = ham.factorized

@@ -21,6 +21,8 @@ the exchange, so XLA overlaps it with the transfer.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -188,6 +190,14 @@ class KronHaloPlan:
     tiles, the dn gather reads contiguous rows (the VPU-friendly
     layout), and the plan costs O(size_down * Kd) host work — no
     O(nnz) index array is ever materialized, on host or device.
+
+    A spin-coupled flat-ELL remainder (FeAs U2/U3/Jpm terms that no
+    spin factorization can carry; reference FeBasedSc.h
+    setU2OffDiagonalTerm/setU3Term) rides a SECOND scalar all-to-all
+    planned on its own column structure — so INT_PAPER33 sectors get
+    the cheap whole-row dn exchange for the hopping while only the
+    small remainder pays an entry-wise halo, instead of falling back
+    to the minutes-to-plan generic flat HaloPlan (VERDICT r2 item 7).
     """
 
     def __init__(self, ham, ndev: int):
@@ -195,9 +205,6 @@ class KronHaloPlan:
         if f is None or f.dn_cols is None:
             raise ValueError("KronHaloPlan needs a spin-factorized "
                              "Hamiltonian with a dn factor")
-        if ham.ell is not None:
-            raise ValueError("KronHaloPlan: spin-coupled ELL remainder "
-                             "unsupported (use HaloPlan)")
         szd, szu = ham.spin_shape
         pad = (-szd) % ndev
         szd_p = szd + pad
@@ -241,6 +248,54 @@ class KronHaloPlan:
                 np.int32)
         ncd = remap[row_dev[:, None], cd]              # (szd_p, Kd)
 
+        # -- optional spin-coupled flat remainder: entry-wise halo ----
+        # planned on the remainder's own column structure (its nnz is
+        # small by construction — it is what the factorization could
+        # not carry), so the O(nnz) scatter pass here is cheap
+        rem_cols = rem_vals = rem_send = None
+        halo_entries = 0
+        if ham.ell is not None:
+            fshard = d_shard * szu
+            dimp = szd_p * szu
+            rc = np.asarray(ham.ell.cols).astype(np.int64)
+            rv = np.asarray(ham.ell.vals)
+            if pad:
+                kr = rc.shape[1]
+                rc = np.vstack([rc, np.broadcast_to(
+                    np.arange(szd * szu, dimp,
+                              dtype=np.int64)[:, None],
+                    (pad * szu, kr))])
+                rv = np.vstack([rv,
+                                np.zeros((pad * szu, kr), rv.dtype)])
+            frow_dev = np.arange(dimp, dtype=np.int64) // fshard
+            rneed = np.zeros((ndev, dimp), dtype=bool)
+            for kk in range(rc.shape[1]):
+                rneed[frow_dev, rc[:, kk]] = True
+            for d in range(ndev):
+                rneed[d, d * fshard:(d + 1) * fshard] = False
+            halo_ent = np.zeros((ndev, ndev), dtype=np.int64)
+            runiq = [np.nonzero(rneed[d])[0] for d in range(ndev)]
+            for d in range(ndev):
+                halo_ent[d] = np.bincount(runiq[d] // fshard,
+                                          minlength=ndev)
+            max_ent = max(int(halo_ent.max(initial=0)), 1)
+            rremap = np.empty((ndev, dimp), dtype=np.int32)
+            rem_send = np.zeros((ndev, ndev, max_ent), dtype=np.int32)
+            for d in range(ndev):
+                uniq = runiq[d]
+                u_s = uniq // fshard
+                starts = np.searchsorted(u_s, np.arange(ndev))
+                posn = np.arange(uniq.shape[0]) - starts[u_s]
+                rremap[d] = (np.arange(dimp, dtype=np.int64)
+                             - d * fshard).astype(np.int32)
+                rremap[d, uniq] = (fshard + u_s * max_ent
+                                   + posn).astype(np.int32)
+                rem_send[u_s, d, posn] = (uniq - u_s * fshard).astype(
+                    np.int32)
+            rem_cols = rremap[frow_dev[:, None], rc].astype(np.int32)
+            rem_vals = rv
+            halo_entries = int(halo_ent.sum())
+
         diag = np.asarray(ham.diag).reshape(szd, szu)
         if pad:
             diag = np.vstack([diag, np.zeros((pad, szu), diag.dtype)])
@@ -260,7 +315,11 @@ class KronHaloPlan:
         self.up_dense = None if f.up_dense is None else \
             np.asarray(f.up_dense)
         self.send_rows = send_rows
-        self.halo_fraction = float(halo_rows.sum() * szu) / \
+        self.rem_cols = rem_cols
+        self.rem_vals = rem_vals
+        self.rem_send = rem_send
+        self.halo_fraction = \
+            float(halo_rows.sum() * szu + halo_entries) / \
             max(self.dim * (ndev - 1), 1)
 
     def hamiltonian(self, mesh: Mesh) -> "KronHaloHamiltonian":
@@ -284,6 +343,12 @@ class KronHaloPlan:
             ncd=jax.device_put(jnp.asarray(self.ncd), row),
             vd=jax.device_put(jnp.asarray(self.vd), row),
             send_rows=jax.device_put(jnp.asarray(self.send_rows), first),
+            rem_cols=None if self.rem_cols is None else
+            jax.device_put(jnp.asarray(self.rem_cols), row),
+            rem_vals=None if self.rem_vals is None else
+            jax.device_put(jnp.asarray(self.rem_vals), row),
+            rem_send=None if self.rem_send is None else
+            jax.device_put(jnp.asarray(self.rem_send), first),
             mesh=mesh)
 
 
@@ -291,14 +356,20 @@ class KronHaloPlan:
 @dataclasses.dataclass(frozen=True)
 class KronHaloHamiltonian:
     """Spin-factorized halo Hamiltonian: local up-factor GEMM + one
-    all-to-all of whole dn rows + contiguous-row dn gather.  Drops into
-    the same Lanczos scan as the single-chip Hamiltonian."""
+    all-to-all of whole dn rows + contiguous-row dn gather, plus (when
+    a spin-coupled ELL remainder exists) one scalar all-to-all for the
+    remainder's off-shard entries.  Drops into the same Lanczos scan
+    as the single-chip Hamiltonian."""
     diag2d: jax.Array        # (szd_p, szu) row-sharded
     up_dense: jax.Array      # (szu, szu) replicated (or None)
     ncd: jax.Array           # (szd_p, Kd) remapped dn rows
     vd: jax.Array            # (szd_p, Kd)
     send_rows: jax.Array     # (ndev, ndev, max_rows)
-    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    rem_cols: Optional[jax.Array] = None  # (szd_p*szu, Kr) remapped
+    rem_vals: Optional[jax.Array] = None  # (szd_p*szu, Kr)
+    rem_send: Optional[jax.Array] = None  # (ndev, ndev, max_ent)
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True),
+                                   default=None)
 
     @property
     def dim(self):
@@ -311,7 +382,8 @@ class KronHaloHamiltonian:
     def matvec(self, x):
         szu = self.diag2d.shape[1]
 
-        def body(diag2d, up_dense, ncd, vd, send_rows, x):
+        def body(diag2d, up_dense, ncd, vd, send_rows,
+                 rem_cols, rem_vals, rem_send, x):
             x2d = x.reshape(-1, szu)                   # (d_shard, szu)
             send = x2d[send_rows[0]]                   # (ndev, mr, szu)
             recv = jax.lax.all_to_all(send, ROWS, 0, 0)
@@ -325,15 +397,23 @@ class KronHaloHamiltonian:
                     preferred_element_type=x2d.dtype)
             for k in range(vd.shape[1]):
                 y = y + vd[:, k, None] * combined[ncd[:, k], :]
+            if rem_cols is not None:
+                send_r = x[rem_send[0]]                # (ndev, max_ent)
+                recv_r = jax.lax.all_to_all(send_r, ROWS, 0, 0)
+                combf = jnp.concatenate([x, recv_r.reshape(-1)])
+                y = y + jnp.sum(rem_vals * combf[rem_cols],
+                                axis=-1).reshape(-1, szu)
             return y.reshape(-1)
 
         row = P(ROWS, None)
+        first = P(ROWS, None, None)
         fn = shard_map(body, mesh=self.mesh,
-                       in_specs=(row, P(), row, row,
-                                 P(ROWS, None, None), P(ROWS)),
+                       in_specs=(row, P(), row, row, first,
+                                 row, row, first, P(ROWS)),
                        out_specs=P(ROWS))
         return fn(self.diag2d, self.up_dense, self.ncd, self.vd,
-                  self.send_rows, x)
+                  self.send_rows, self.rem_cols, self.rem_vals,
+                  self.rem_send, x)
 
 
 def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
@@ -347,7 +427,7 @@ def halo_lowest_states(ham, mesh: Mesh, num_states: int = 1,
     from lanczosplusplus_tpu.parallel.mesh import sharded_selective_solve
 
     if getattr(ham, "factorized", None) is not None and \
-            ham.ell is None and ham.factorized.dn_cols is not None:
+            ham.factorized.dn_cols is not None:
         plan = KronHaloPlan(ham, mesh.devices.size)
         sham = plan.hamiltonian(mesh)
         return sharded_selective_solve(sham, mesh, plan.orig_dim,
