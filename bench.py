@@ -168,6 +168,35 @@ Connectors 1 {v}
     return model.block_kron_hamiltonian(basis, dtype=dtype)
 
 
+def build_rashba_halfcut(nsite, ne, dtype=np.float32):
+    """The production factored form (spatial half-cut): within-half
+    Rashba flips run as MXU GEMMs; only the cut-crossing bonds stay
+    gathers.  Returns the INNER block form — the layout the solvers
+    run in (lowest_states/ftlm/kpm unwrap the flat-order adapter)."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.rashba_halfcut import \
+        build_halfcut_rashba
+
+    term = """DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {v}
+"""
+    text = (f"TotalNumberOfSites={nsite}\nNumberOfTerms=2\n"
+            + term.format(v=-1.0) + term.format(v=0.5)
+            + "Model=HubbardOneBandRashbaSOC\n"
+            + f"hubbardU {nsite} {' '.join(['4'] * nsite)}\n"
+            + f"potentialV {2 * nsite} {' '.join(['0'] * 2 * nsite)}\n"
+            + "SolverOptions=none\n"
+            + f"TargetElectronsTotal={ne}\nIsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(("ne", ne))
+    return build_halfcut_rashba(model, basis, dtype=dtype).inner
+
+
 def _time_stripped(bk_ham, x, iters):
     """ms/matvec of a BlockKronHamiltonian with its PermCrossTerms
     stripped — the GEMM-vs-gather breakdown of the factored sections."""
@@ -380,7 +409,7 @@ def main():
     del tj_ham, xt, yt
     gc.collect()
     ra_nsite = 13 if platform != "cpu" else 6
-    ra_ham = build_rashba_blockkron(ra_nsite, ra_nsite)
+    ra_ham = build_rashba_halfcut(ra_nsite, ra_nsite)
     xr = jax.random.normal(key, (ra_ham.dim,), jnp.float32)
     xr = xr / jnp.linalg.norm(xr)
     yr = matvec(ra_ham, xr)
@@ -522,6 +551,7 @@ IsPeriodicX=1
             "rashba_nsite": ra_nsite,
             "rashba_dim": ra_dim,
             "rashba_nnz": ra_nnz,
+            "rashba_form": "halfcut",
             "rashba_ms_per_matvec": round(dt_ra * 1e3, 3),
             "rashba_blockkron_gnnz_per_s":
                 round(ra_nnz / dt_ra / 1e9, 1),

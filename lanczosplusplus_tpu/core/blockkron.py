@@ -113,12 +113,27 @@ def _perm_cross_apply_batched(t: "PermCrossTerm",
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockKronHamiltonian:
+    """Direct sum of Kronecker blocks with cross couplings.
+
+    Optional TIERED application (see `tierize`): forms with many small
+    blocks (the t-J half-cut has ~45) are dispatch-bound — one tiny
+    GEMM kernel per block per op.  `tiers` groups same-padded-shape
+    blocks; their diag/row/col applications run as ONE batched einsum
+    per tier from the precomputed stacked tensors `diag_t`/`row_t`/
+    `col_t`, while blocks not covered by a tier (the big ones, where a
+    lone MXU GEMM is already efficient) keep the per-block path."""
     diag: Tuple[jax.Array, ...]               # per block (rows, cols)
     row_ops: Tuple[Optional[jax.Array], ...]  # per block (rows, rows)
     col_ops: Tuple[Optional[jax.Array], ...]  # per block (cols, cols)
     cross: Tuple[CrossTerm, ...]
     shapes: tuple = dataclasses.field(metadata=dict(static=True))
     perm_cross: Tuple[PermCrossTerm, ...] = ()
+    # tiered batching (optional): tiers = ((block_idxs, R, C), ...)
+    tiers: Optional[tuple] = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    diag_t: Tuple[jax.Array, ...] = ()        # per tier (k, R, C)
+    row_t: Tuple[Optional[jax.Array], ...] = ()   # per tier (k, R, R)
+    col_t: Tuple[Optional[jax.Array], ...] = ()   # per tier (k, C, C)
 
     @property
     def dim(self) -> int:
@@ -157,10 +172,35 @@ class BlockKronHamiltonian:
             off += r * c
         return out
 
+    def _tier_members(self):
+        out = set()
+        for idxs, _, _ in (self.tiers or ()):
+            out.update(idxs)
+        return out
+
     def matvec(self, x):
         xs = self._split(x)
-        ys = [self.diag[b] * xs[b] for b in range(len(xs))]
+        in_tier = self._tier_members()
+        ys = [self.diag[b] * xs[b] if b not in in_tier else None
+              for b in range(len(xs))]
+        pet = dict(preferred_element_type=x.dtype)
+        for t, (idxs, R, C) in enumerate(self.tiers or ()):
+            xt = jnp.stack([jnp.pad(xs[b], ((0, R - self.shapes[b][0]),
+                                            (0, C - self.shapes[b][1])))
+                            for b in idxs])
+            yt = self.diag_t[t] * xt
+            if self.row_t[t] is not None:
+                yt = yt + jnp.einsum("bsr,brc->bsc", self.row_t[t],
+                                     xt, **pet)
+            if self.col_t[t] is not None:
+                yt = yt + jnp.einsum("brc,bdc->brd", xt,
+                                     self.col_t[t], **pet)
+            for pos, b in enumerate(idxs):
+                r, c = self.shapes[b]
+                ys[b] = yt[pos, :r, :c]
         for b in range(len(xs)):
+            if b in in_tier:
+                continue
             if self.row_ops[b] is not None:
                 ys[b] = ys[b] + jax.lax.dot_general(
                     self.row_ops[b], xs[b],
@@ -171,7 +211,6 @@ class BlockKronHamiltonian:
                     xs[b], self.col_ops[b],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=x.dtype)
-        pet = dict(preferred_element_type=x.dtype)
         for t in self.cross:
             # t1[n, r_src, c_dst] = X_src @ right[n]^T
             t1 = jnp.einsum("ndc,rc->nrd", t.right, xs[t.src], **pet)
@@ -195,9 +234,28 @@ class BlockKronHamiltonian:
         for (r, c) in self.shapes:
             xs.append(xk[:, off:off + r * c].reshape(k, r, c))
             off += r * c
-        ys = [self.diag[b][None] * xs[b] for b in range(len(xs))]
+        in_tier = self._tier_members()
+        ys = [self.diag[b][None] * xs[b] if b not in in_tier else None
+              for b in range(len(xs))]
         pet = dict(preferred_element_type=xk.dtype)
+        for t, (idxs, R, C) in enumerate(self.tiers or ()):
+            xt = jnp.stack(
+                [jnp.pad(xs[b], ((0, 0), (0, R - self.shapes[b][0]),
+                                 (0, C - self.shapes[b][1])))
+                 for b in idxs], axis=1)          # (k, nb, R, C)
+            yt = self.diag_t[t][None] * xt
+            if self.row_t[t] is not None:
+                yt = yt + jnp.einsum("bsr,kbrc->kbsc", self.row_t[t],
+                                     xt, **pet)
+            if self.col_t[t] is not None:
+                yt = yt + jnp.einsum("kbrc,bdc->kbrd", xt,
+                                     self.col_t[t], **pet)
+            for pos, b in enumerate(idxs):
+                r, c = self.shapes[b]
+                ys[b] = yt[:, pos, :r, :c]
         for b in range(len(xs)):
+            if b in in_tier:
+                continue
             r, c = self.shapes[b]
             if self.row_ops[b] is not None:
                 t = jax.lax.dot_general(
@@ -233,15 +291,76 @@ class BlockKronHamiltonian:
         return np.stack(cols, axis=1)
 
 
+def tierize(bk: BlockKronHamiltonian,
+            max_elems: int = 1 << 18) -> BlockKronHamiltonian:
+    """Group small blocks (rows*cols <= max_elems) into same-padded-
+    shape tiers (dims rounded up to powers of two, so pad waste is
+    bounded by 4x on FLOPs that are ~free at these sizes) and
+    precompute the stacked diag/row/col tensors.  Blocks larger than
+    the threshold keep the per-block GEMM path, where a lone MXU GEMM
+    is already efficient.  The per-block fields stay populated (nnz
+    accounting, to_dense, host-f64 refinement use them)."""
+    def up2(v):
+        p = 8
+        while p < v:
+            p *= 2
+        return p
+
+    groups = {}
+    for b, (r, c) in enumerate(bk.shapes):
+        if r * c > max_elems or r < 2 or c < 2:
+            continue
+        groups.setdefault((up2(r), up2(c)), []).append(b)
+    tiers, diag_t, row_t, col_t = [], [], [], []
+    for (R, C), idxs in sorted(groups.items()):
+        if len(idxs) < 2:
+            continue
+        tiers.append((tuple(idxs), R, C))
+        diag_t.append(jnp.stack(
+            [jnp.pad(bk.diag[b], ((0, R - bk.shapes[b][0]),
+                                  (0, C - bk.shapes[b][1])))
+             for b in idxs]))
+        if any(bk.row_ops[b] is not None for b in idxs):
+            row_t.append(jnp.stack(
+                [jnp.pad(bk.row_ops[b] if bk.row_ops[b] is not None
+                         else jnp.zeros((bk.shapes[b][0],) * 2,
+                                        bk.diag[b].dtype),
+                         ((0, R - bk.shapes[b][0]),) * 2)
+                 for b in idxs]))
+        else:
+            row_t.append(None)
+        if any(bk.col_ops[b] is not None for b in idxs):
+            col_t.append(jnp.stack(
+                [jnp.pad(bk.col_ops[b] if bk.col_ops[b] is not None
+                         else jnp.zeros((bk.shapes[b][1],) * 2,
+                                        bk.diag[b].dtype),
+                         ((0, C - bk.shapes[b][1]),) * 2)
+                 for b in idxs]))
+        else:
+            col_t.append(None)
+    if not tiers:
+        return bk
+    return dataclasses.replace(
+        bk, tiers=tuple(tiers), diag_t=tuple(diag_t),
+        row_t=tuple(row_t), col_t=tuple(col_t))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PermutedHamiltonian:
     """Order adapter: applies an inner (block-ordered) Hamiltonian to
     vectors given in another basis order (two gathers around the inner
-    matvec), so solvers and operator maps see the flat order."""
+    matvec), so solvers and operator maps see the flat order.
+
+    `sign` (optional, in inner/block order) carries a per-state +-1
+    phase when the inner form uses a different Jordan-Wigner mode
+    ordering than the flat basis (the half-cut Rashba factorization's
+    (-1)^{au*bu} twist): flat state |f> = sign[inv[f]] * inner state,
+    so H_flat = S P^T H_inner P S with S = diag(sign)."""
     inner: BlockKronHamiltonian
     perm: jax.Array   # block position p -> flat index perm[p]
     inv: jax.Array    # flat index f -> block position inv[f]
+    sign: Optional[jax.Array] = None   # (dim,) inner order, +-1
 
     @property
     def dim(self):
@@ -256,10 +375,22 @@ class PermutedHamiltonian:
         return self.inner.nnz
 
     def matvec(self, x):
-        return self.inner.matvec(x[self.perm])[self.inv]
+        xp = x[self.perm]
+        if self.sign is not None:
+            xp = xp * self.sign
+        y = self.inner.matvec(xp)
+        if self.sign is not None:
+            y = y * self.sign
+        return y[self.inv]
 
     def matmat_t(self, xk):
-        return self.inner.matmat_t(xk[:, self.perm])[:, self.inv]
+        xp = xk[:, self.perm]
+        if self.sign is not None:
+            xp = xp * self.sign[None, :]
+        y = self.inner.matmat_t(xp)
+        if self.sign is not None:
+            y = y * self.sign[None, :]
+        return y[:, self.inv]
 
     def to_dense(self):
         dim = self.dim

@@ -108,11 +108,30 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
     reference's thermal pipeline which also rotates sector-preserving
     matrices only (src/thermal.cpp:94-232).
     """
+    operators = operators or {}
+    if hasattr(ham, "inner") and hasattr(ham, "perm") and all(
+            not (hasattr(op, "matmat") or hasattr(op, "matmat_t"))
+            for op in operators.values()):
+        # PermutedHamiltonian: traces are basis-independent and the
+        # flat wrap's whole-dim perm gather is catastrophic per step
+        # on TPU — run in the inner (block) layout, permuting any
+        # diagonal operators (sign^2 = 1 cancels in the sandwich).
+        # Caller-provided start vectors are in flat order: convert.
+        perm = np.asarray(ham.perm)
+        sgn = None if ham.sign is None else np.asarray(ham.sign)
+        operators = {k: np.asarray(op)[perm]
+                     for k, op in operators.items()}
+        if start_vectors is not None:
+            sv = np.asarray(start_vectors)[perm, :]
+            if sgn is not None:
+                sv = sv * sgn[:, None]
+            start_vectors = sv
+        ham = ham.inner
+
     dim = ham.dim
     dtype = ham.dtype
     steps = int(min(steps, dim))
     beta_grid = np.asarray(beta_grid, dtype=np.float64)
-    operators = operators or {}
 
     if start_vectors is not None:
         # caller-provided start block (columns need not be random: a

@@ -156,6 +156,10 @@ def kpm_dos(ham, num_moments: int = 256, num_vectors: int = 16,
     moments averaged over R random vectors, scaled by dim."""
     from lanczosplusplus_tpu.solver.lanczos import random_start_block
 
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # trace is basis-independent: skip the flat wrap's per-step
+        # whole-dim perm gather (catastrophic on TPU)
+        ham = ham.inner
     V0 = random_start_block(ham.dim, num_vectors, seed, ham.dtype)
     res = chebyshev_moments(ham, V0, num_moments, bounds=bounds)
     res.moments *= ham.dim / num_vectors

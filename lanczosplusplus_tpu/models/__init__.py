@@ -24,7 +24,12 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
                                            dtype=dtype)
             return fact.flat_ham(basis)
         if name == "RashbaSOCModel":
-            return model.block_kron_hamiltonian(basis, dtype=dtype)
+            # spatial half-cut: within-half Rashba flips run as MXU
+            # GEMMs; only cut-crossing bonds stay gather-typed (5x the
+            # (nup, ndown) block-Kronecker form on the 13-site bench)
+            from lanczosplusplus_tpu.models.rashba_halfcut import \
+                build_halfcut_rashba
+            return build_halfcut_rashba(model, basis, dtype=dtype)
         if name == "TjMultiOrbModel":
             from lanczosplusplus_tpu.models.tj_factored import \
                 build_factored_tj

@@ -43,7 +43,8 @@ from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
                                                 PermCrossTerm,
-                                                PermutedHamiltonian)
+                                                PermutedHamiltonian,
+                                                tierize)
 from lanczosplusplus_tpu.models.tj import TjBasis
 
 
@@ -389,4 +390,8 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         diag=tuple(diags), row_ops=tuple(row_ops),
         col_ops=tuple(col_ops), cross=(),
         shapes=tuple(shapes), perm_cross=tuple(perm_cross))
+    # the half-cut produces ~n^2/4 SMALL blocks: batch same-padded-
+    # shape groups into single einsum kernels (the per-block GEMM path
+    # was dispatch-bound: 45 blocks x 3 kernels at ~24 us each)
+    bk = tierize(bk)
     return bk, blocks, lb, rb, nl

@@ -204,7 +204,11 @@ def host_matvec_f64(ham, v) -> np.ndarray:
     if hasattr(ham, "inner"):           # PermutedHamiltonian
         perm = np.asarray(ham.perm)
         inv = np.asarray(ham.inv)
-        return host_matvec_f64(ham.inner, x[perm])[inv]
+        xp = x[perm]
+        if getattr(ham, "sign", None) is not None:
+            s = _np64(ham.sign, ctype)
+            return (s * host_matvec_f64(ham.inner, s * xp))[inv]
+        return host_matvec_f64(ham.inner, xp)[inv]
     if hasattr(ham, "shapes"):          # BlockKronHamiltonian
         xs = []
         off = 0

@@ -564,6 +564,23 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     def ret(evals, vecs, info):
         return (evals, vecs, info) if return_info else (evals, vecs)
 
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # PermutedHamiltonian: solve in the INNER (block) layout and
+        # convert only the returned eigenvectors.  The flat wrap's
+        # whole-dim random perm gathers are catastrophic on TPU (the
+        # 13-site Rashba half-cut ran 164 ms/matvec wrapped vs 5 ms
+        # unwrapped); the spectrum is basis-independent.
+        evals, vecs, info = lowest_states(
+            ham.inner, num_states=num_states, seed=seed,
+            max_steps=max_steps, tol=tol,
+            krylov_budget_bytes=krylov_budget_bytes, reorth=reorth,
+            return_info=True, dense_fallback_dim=dense_fallback_dim,
+            strict=strict, refine=refine)
+        vecs = np.asarray(vecs)
+        if ham.sign is not None:
+            vecs = vecs * np.asarray(ham.sign)[None, :]
+        return ret(evals, vecs[:, np.asarray(ham.inv)], info)
+
     dim = ham.dim
     dtype = ham.dtype
     if dim <= max(64, num_states + 2):
