@@ -197,6 +197,32 @@ Connectors 1 {v}
     return build_halfcut_rashba(model, basis, dtype=dtype).inner
 
 
+def _time_scanned(ham, iters=32):
+    """ms/matvec with `iters` normalized applications inside ONE
+    lax.scan dispatch — how the Lanczos hot loop actually runs the
+    matvec.  The eager loop above overpays dispatch for many-small-
+    block forms (t-J 18-site: 4.1 ms eager vs 2.3 ms scanned)."""
+    @jax.jit
+    def many(h, x):
+        def step(v, _):
+            v = h.matvec(v)
+            return v / jnp.linalg.norm(v), None
+        out, _ = jax.lax.scan(step, x, None, length=iters)
+        return out
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (ham.dim,), jnp.float32)
+    x = x / jnp.linalg.norm(x)
+    y = many(ham, x)
+    y.block_until_ready()
+    _ = float(y[0])
+    t0 = time.perf_counter()
+    y = many(ham, y)
+    y.block_until_ready()
+    _ = float(y[0])
+    return (time.perf_counter() - t0) / iters
+
+
 def _time_stripped(bk_ham, x, iters):
     """ms/matvec of a BlockKronHamiltonian with its PermCrossTerms
     stripped — the GEMM-vs-gather breakdown of the factored sections."""
@@ -401,6 +427,7 @@ def main():
     # cross-term share: time the same form with perm_cross stripped
     # (VERDICT r2 item 8 — makes PermCrossTerm regressions visible)
     dt_tj_nocross = _time_stripped(tj_ham, xt, iters)
+    dt_tj_scan = _time_scanned(tj_ham)
 
     # -- Rashba SOC sector in block-Kronecker form ---------------------
     # (union basis over (nup, ndown); the flat path is whole-dim
@@ -424,6 +451,7 @@ def main():
     ra_nnz = ra_ham.nnz
     ra_dim = ra_ham.dim
     dt_ra_nocross = _time_stripped(ra_ham, xr, iters)
+    dt_ra_scan = _time_scanned(ra_ham)
     del ra_ham, xr, yr
     gc.collect()
 
@@ -548,6 +576,7 @@ IsPeriodicX=1
             "tj_factored_gnnz_per_s": round(tj_nnz / dt_tj / 1e9, 1),
             "tj_ms_gemm_only": round(dt_tj_nocross * 1e3, 3),
             "tj_cross_share": round(1 - dt_tj_nocross / dt_tj, 3),
+            "tj_ms_per_matvec_scanned": round(dt_tj_scan * 1e3, 3),
             "rashba_nsite": ra_nsite,
             "rashba_dim": ra_dim,
             "rashba_nnz": ra_nnz,
@@ -557,6 +586,8 @@ IsPeriodicX=1
                 round(ra_nnz / dt_ra / 1e9, 1),
             "rashba_ms_gemm_only": round(dt_ra_nocross * 1e3, 3),
             "rashba_cross_share": round(1 - dt_ra_nocross / dt_ra, 3),
+            "rashba_ms_per_matvec_scanned":
+                round(dt_ra_scan * 1e3, 3),
             "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
             "e0_heisenberg12_refined_rel_err":
                 float(f"{heis_rel_err:.3g}"),

@@ -65,6 +65,38 @@ Connectors 1 {v}
     return "tj", basis.size, flat, fact, flat_slots
 
 
+def tj2_case(nsite=8):
+    """2-orbital t-J sector — the multi-orbital half-cut (VERDICT r2
+    item 7): per-(site,orbital) bits, spatial cut unchanged."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.tj_factored import build_factored_tj
+
+    nup = ndn = nsite // 2
+    def term(d0, d1, off):
+        return f"""DegreesOfFreedom=2
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 2 2
+{d0} {off}
+{off} {d1}
+"""
+    text = (f"TotalNumberOfSites={nsite}\nNumberOfTerms=4\n"
+            + term(-1.0, -0.8, 0.2) + term(0.4, 0.3, 0.1)
+            + term(0.35, 0.3, 0.0) + term(0.0, 0.0, 0.0)
+            + f"Model=TjMultiOrb\nOrbitals=2\nSolverOptions=none\n"
+              f"TargetElectronsUp={nup}\nTargetElectronsDown={ndn}\n"
+              "IsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((nup, ndn))
+    flat = model.hamiltonian(basis, dtype=np.float32)
+    fact = build_factored_tj(model, basis, dtype=np.float32)
+    flat_slots = flat.dim * (1 + flat.ell.cols.shape[1])
+    return "tj_2orb", basis.size, flat, fact, flat_slots
+
+
 def rashba_case(nsite=12):
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
@@ -85,8 +117,10 @@ Connectors 1 {v}
     inp = parse_input(text)
     model = build_model(inp, Geometry(inp))
     basis = model.create_basis(("ne", nsite))
+    from lanczosplusplus_tpu.models.rashba_halfcut import \
+        build_halfcut_rashba
     flat = model.hamiltonian(basis, dtype=np.float32)
-    fact = model.block_kron_hamiltonian(basis, dtype=np.float32)
+    fact = build_halfcut_rashba(model, basis, dtype=np.float32).inner
     flat_slots = flat.dim * (1 + flat.ell.cols.shape[1])
     return "rashba", basis.size, flat, fact, flat_slots
 
@@ -97,7 +131,7 @@ def main():
     print(json.dumps({"platform": jax.devices()[0].platform}),
           flush=True)
 
-    for case in (tj_case, rashba_case):
+    for case in (tj_case, tj2_case, rashba_case):
         name, dim, flat, fact, flat_slots = case()
         dt_flat = time_matvec(flat)
         del flat

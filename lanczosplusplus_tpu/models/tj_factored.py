@@ -1,4 +1,5 @@
-"""Half-cut block-factorized t-J solver (orbitals = 1).
+"""Half-cut block-factorized t-J solver (any orbitals; the
+JHundInfinity rotation stays on the flat path).
 
 The t-J basis is not a spin product (the no-double-occupancy
 constraint couples the spin words; reference:
@@ -54,12 +55,27 @@ def _parity_above(words, site):
     return np.where(bits.popcount(shifted) & 1, -1.0, 1.0)
 
 
+def _half_projectors(tjb: TjBasis):
+    """Per-state per-SITE t-J projector pro_i = |n_i - 1| if n_i > 0
+    else 0 (models/tj.py _projectors), for one half."""
+    o = tjb.orbitals
+    nsite = tjb.nbits // o
+    nu = bits.bits_to_table(tjb.up_words, tjb.nbits).astype(np.float64)
+    nd = bits.bits_to_table(tjb.dn_words, tjb.nbits).astype(np.float64)
+    ntot = (nu + nd).reshape(-1, nsite, o).sum(axis=2)
+    return np.where(ntot > 0, np.abs(ntot - 1), 0.0)
+
+
 def _offdiag_dense(tjb: TjBasis, hop, jpm):
     """Within-half off-diagonal part (hops + S+S-), same element rules
-    as TjMultiOrbModel.hamiltonian (models/tj.py), scattered dense."""
+    as TjMultiOrbModel.hamiltonian (models/tj.py), scattered dense.
+    Multi-orbital: the S+S- term carries the site-level projector pair
+    pro_i * pro_j of the row state (models/tj.py:290-295)."""
     dim = tjb.size
     upw, dnw = tjb.up_words, tjb.dn_words
     nb = tjb.nbits
+    o = tjb.orbitals
+    pro = _half_projectors(tjb) if o > 1 else None
     h = np.zeros((dim, dim))
     rows = np.arange(dim)
     occ_u = {a: bits.get_bit(upw, a) for a in range(nb)}
@@ -102,6 +118,8 @@ def _offdiag_dense(tjb: TjBasis, hop, jpm):
                     bits.parity_sign_below(bra_d, a) * \
                     bits.parity_sign_below(bra_u, a) * \
                     bits.parity_sign_below(bra_u, b)
+                if pro is not None:
+                    s = s * pro[:, a // o] * pro[:, b // o]
                 tgt = tjb.rank(bra_u, bra_d)
                 np.add.at(h, (rows[ok], tgt[ok]), (hh * s)[ok])
     return h
@@ -109,20 +127,43 @@ def _offdiag_dense(tjb: TjBasis, hop, jpm):
 
 def _diag_within(tjb: TjBasis, jzz, w, vu, vd):
     """Within-half diagonal (potentials + Jzz/4 SzSz + W ninj), the
-    orbitals=1 formulas of TjMultiOrbModel.diagonal."""
+    formulas of TjMultiOrbModel.diagonal; multi-orbital dresses the
+    per-bit Sz/ntot tables with the site projectors and masks same-site
+    bit couplings (models/tj.py:215-228).  Returns (diag, a_zz, a_w)
+    where a_zz/a_w are the (dressed) per-bit tables the caller uses
+    for the cut-crossing diagonal bilinears — crossing pairs are never
+    same-site, so the raw couplings apply there."""
+    o = tjb.orbitals
     nu = bits.bits_to_table(tjb.up_words, tjb.nbits).astype(np.float64)
     nd = bits.bits_to_table(tjb.dn_words, tjb.nbits).astype(np.float64)
     diag = nu @ vu + nd @ vd
     sz2 = nu - nd
     ntot = nu + nd
-    quad_zz = np.einsum("sa,ab,sb->s", sz2, jzz, sz2)
-    self_zz = np.einsum("sa,aa,sa->s", sz2,
-                        np.diag(np.diag(jzz)), sz2)
-    diag += 0.25 * 0.5 * (quad_zz - self_zz)
-    quad_w = np.einsum("sa,ab,sb->s", ntot, w, ntot)
-    self_w = np.einsum("sa,aa,sa->s", ntot, np.diag(np.diag(w)), ntot)
-    diag += 0.5 * (quad_w - self_w)
-    return diag, sz2, ntot
+    if o == 1:
+        a_zz, a_w = sz2, ntot
+        jzz_eff, w_eff = jzz, w
+        quad_zz = np.einsum("sa,ab,sb->s", a_zz, jzz_eff, a_zz)
+        self_zz = np.einsum("sa,aa,sa->s", a_zz,
+                            np.diag(np.diag(jzz_eff)), a_zz)
+        diag += 0.25 * 0.5 * (quad_zz - self_zz)
+        quad_w = np.einsum("sa,ab,sb->s", a_w, w_eff, a_w)
+        self_w = np.einsum("sa,aa,sa->s", a_w,
+                           np.diag(np.diag(w_eff)), a_w)
+        diag += 0.5 * (quad_w - self_w)
+    else:
+        pro = _half_projectors(tjb)
+        prob = np.repeat(pro, o, axis=1)
+        a_zz = prob * sz2
+        a_w = prob * ntot
+        nsite = tjb.nbits // o
+        site_of = np.repeat(np.arange(nsite), o)
+        same_site = site_of[:, None] == site_of[None, :]
+        jzz_eff = np.where(same_site, 0.0, jzz)
+        w_eff = np.where(same_site, 0.0, w)
+        diag += 0.25 * 0.5 * np.einsum("sa,ab,sb->s", a_zz, jzz_eff,
+                                       a_zz)
+        diag += 0.5 * np.einsum("sa,ab,sb->s", a_w, w_eff, a_w)
+    return diag, a_zz, a_w
 
 
 def build_factored_tj(model, basis: TjBasis, dtype=np.float64,
@@ -136,15 +177,16 @@ def build_factored_tj(model, basis: TjBasis, dtype=np.float64,
     if out is None:
         return None
     bk, blocks, lb, rb, nl = out
+    nlb = nl * basis.orbitals          # cut position in BITS
 
     # flat (sorted combined word) order of the full-sector TjBasis
     perm = np.empty(bk.dim, dtype=np.int64)
     off = 0
     for (au, ad), (dl_, dr_) in zip(blocks, bk.shapes):
         left, right = lb[(au, ad)], rb[(au, ad)]
-        up = (right.up_words.astype(np.uint64)[None, :] << WORD(nl)) \
+        up = (right.up_words.astype(np.uint64)[None, :] << WORD(nlb)) \
             | left.up_words.astype(np.uint64)[:, None]
-        dn = (right.dn_words.astype(np.uint64)[None, :] << WORD(nl)) \
+        dn = (right.dn_words.astype(np.uint64)[None, :] << WORD(nlb)) \
             | left.dn_words.astype(np.uint64)[:, None]
         perm[off:off + dl_ * dr_] = basis.rank(up.reshape(-1),
                                                dn.reshape(-1))
@@ -163,37 +205,46 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
     construction holds an O(C(n,nup) * C(n,ndn)) mask; 20 sites
     half-ish filling would need tens of GB).  Returns
     (BlockKronHamiltonian, blocks, left_bases, right_bases, cut)."""
-    if model.norb != 1 or model.reinterpret:
+    if model.reinterpret:
         return None
     n = model.geometry.number_of_sites()
+    o = model.norb
     nl = cut if cut is not None else n // 2
     nr = n - nl
+    nlb, nrb = nl * o, nr * o          # bits per half (cut at a site)
     hop, jpm, jzz, w = model.hop, model.jpm, model.jzz, model.w
     pv = model.potential_v
-    vu = np.zeros(n)
-    vd = np.zeros(n)
-    if pv.size:
-        vu[:min(n, pv.size)] = pv[:n]
-        if pv.size > n:
-            vd[:pv.size - n] = pv[n:2 * n]
+    # potentialV bit layout: site + orb*nsite (+ orbitals*nsite for
+    # down) -> per-bit vectors (models/tj.py:189-202)
+    vu = np.zeros(n * o)
+    vd = np.zeros(n * o)
+    for site in range(n):
+        for orb in range(o):
+            k = site + orb * n
+            if k < pv.size:
+                vu[site * o + orb] = pv[k]
+            k2 = site + orb * n + o * n
+            if k2 < pv.size:
+                vd[site * o + orb] = pv[k2]
 
-    hop_cross = [(a, b) for a in range(nl) for b in range(nl, n)
+    hop_cross = [(a, b) for a in range(nlb) for b in range(nlb, n * o)
                  if hop[a, b] != 0]
-    jpm_cross = [(a, b) for a in range(nl) for b in range(nl, n)
+    jpm_cross = [(a, b) for a in range(nlb) for b in range(nlb, n * o)
                  if jpm[a, b] != 0]
 
-    # blocks: left quantum numbers (au, ad)
+    # blocks: left quantum numbers (au, ad) — counts of left BITS
     blocks = []
     lb, rb = {}, {}
-    for au in range(0, min(nl, nup) + 1):
-        for ad in range(0, min(nl, ndn) + 1):
-            if au + ad > nl:
+    for au in range(0, min(nlb, nup) + 1):
+        for ad in range(0, min(nlb, ndn) + 1):
+            if au + ad > nlb:
                 continue
             bu, bd = nup - au, ndn - ad
-            if bu < 0 or bd < 0 or bu + bd > nr or bu > nr or bd > nr:
+            if bu < 0 or bd < 0 or bu + bd > nrb or bu > nrb \
+                    or bd > nrb:
                 continue
-            left = TjBasis(nl, au, ad)
-            right = TjBasis(nr, bu, bd)
+            left = TjBasis(nl, au, ad, orbitals=o)
+            right = TjBasis(nr, bu, bd, orbitals=o)
             if left.size == 0 or right.size == 0:
                 continue
             blocks.append((au, ad))
@@ -206,20 +257,23 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
     for (au, ad) in blocks:
         left, right = lb[(au, ad)], rb[(au, ad)]
         shapes.append((left.size, right.size))
-        dl, szl, ntl = _diag_within(left, jzz[:nl, :nl], w[:nl, :nl],
-                                    vu[:nl], vd[:nl])
-        dr, szr, ntr = _diag_within(right, jzz[nl:, nl:], w[nl:, nl:],
-                                    vu[nl:], vd[nl:])
+        dl, szl, ntl = _diag_within(left, jzz[:nlb, :nlb],
+                                    w[:nlb, :nlb], vu[:nlb], vd[:nlb])
+        dr, szr, ntr = _diag_within(right, jzz[nlb:, nlb:],
+                                    w[nlb:, nlb:], vu[nlb:], vd[nlb:])
         d2 = dl[:, None] + dr[None, :]
         # cross-cut diagonal couplings: quad terms count (L,R) and
-        # (R,L) once each -> factor 2 against the 1/2 in the quad form
-        d2 = d2 + 0.25 * (szl @ jzz[:nl, nl:] @ szr.T)
-        d2 = d2 + (ntl @ w[:nl, nl:] @ ntr.T)
+        # (R,L) once each -> factor 2 against the 1/2 in the quad form;
+        # crossing bit pairs are never same-site, so the raw coupling
+        # blocks apply even at orbitals > 1 (the dressed szl/ntl tables
+        # already carry the projectors)
+        d2 = d2 + 0.25 * (szl @ jzz[:nlb, nlb:] @ szr.T)
+        d2 = d2 + (ntl @ w[:nlb, nlb:] @ ntr.T)
         diags.append(jnp.asarray(d2.astype(dtype)))
         row_ops.append(jnp.asarray(_offdiag_dense(
-            left, hop[:nl, :nl], jpm[:nl, :nl]).astype(dtype)))
+            left, hop[:nlb, :nlb], jpm[:nlb, :nlb]).astype(dtype)))
         col_ops.append(jnp.asarray(_offdiag_dense(
-            right, hop[nl:, nl:], jpm[nl:, nl:]).astype(dtype)))
+            right, hop[nlb:, nlb:], jpm[nlb:, nlb:]).astype(dtype)))
 
     # -- cut-crossing terms as batched partial permutations -----------
     # (built from the DESTINATION side: PermCrossTerm gathers from src)
@@ -239,7 +293,7 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         col_amp = np.zeros((nbonds, rdst.size))
         for k, (a, b, coupling) in enumerate(bondlist):
             rs, ra = left_fn(ldst, lsrc, a, coupling)
-            cs, ca = right_fn(rdst, rsrc, b - nl)
+            cs, ca = right_fn(rdst, rsrc, b - nlb)
             row_src[k], row_amp[k] = rs, ra
             col_src[k], col_amp[k] = cs, ca
         perm_cross.append(PermCrossTerm(
@@ -323,6 +377,13 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
     # dst left has dn at a instead of up; amplitudes on the bra (= dst)
     # words (TjMultiOrb.h:772-786), with the left-word parity of the
     # parity_below at the right site folded in as the block scalar
+    def _pro_at(half, bit):
+        """Site projector of the dst half at `bit`'s site (1.0 at
+        orbitals == 1; models/tj.py:290-295)."""
+        if half.orbitals == 1:
+            return 1.0
+        return _half_projectors(half)[:, bit // half.orbitals]
+
     def j_c1_left(ldst, lsrc, a, hh_and_scalar):
         upw, dnw = ldst.up_words, ldst.dn_words
         ok = (bits.get_bit(upw, a) == 0) & (bits.get_bit(dnw, a) == 1)
@@ -330,7 +391,7 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         src_dn = bits.flip_bit(dnw, a)
         idx = np.where(ok, lsrc.rank(src_up, src_dn), 0)
         amp = hh_and_scalar * bits.parity_sign_below(upw, a) * \
-            bits.parity_sign_below(dnw, a)
+            bits.parity_sign_below(dnw, a) * _pro_at(ldst, a)
         return idx, np.where(ok, amp, 0.0)
 
     def j_c1_right(rdst, rsrc, b):
@@ -340,7 +401,7 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         src_dn = bits.flip_bit(dnw, b)
         idx = np.where(ok, rsrc.rank(src_up, src_dn), 0)
         amp = bits.parity_sign_below(upw, b) * \
-            bits.parity_sign_below(dnw, b)
+            bits.parity_sign_below(dnw, b) * _pro_at(rdst, b)
         return idx, np.where(ok, amp, 0.0)
 
     def j_c2_left(ldst, lsrc, a, hh_and_scalar):
@@ -350,7 +411,7 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         src_dn = bits.flip_bit(dnw, a)
         idx = np.where(ok, lsrc.rank(src_up, src_dn), 0)
         amp = hh_and_scalar * bits.parity_sign_below(upw, a) * \
-            bits.parity_sign_below(dnw, a)
+            bits.parity_sign_below(dnw, a) * _pro_at(ldst, a)
         return idx, np.where(ok, amp, 0.0)
 
     def j_c2_right(rdst, rsrc, b):
@@ -360,7 +421,7 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
         src_dn = bits.flip_bit(dnw, b)
         idx = np.where(ok, rsrc.rank(src_up, src_dn), 0)
         amp = bits.parity_sign_below(upw, b) * \
-            bits.parity_sign_below(dnw, b)
+            bits.parity_sign_below(dnw, b) * _pro_at(rdst, b)
         return idx, np.where(ok, amp, 0.0)
 
     for (au, ad) in blocks:

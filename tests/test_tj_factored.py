@@ -87,11 +87,70 @@ def test_factored_nnz_counts_cross_terms():
     assert fact.nnz > fact.dim  # diagonal plus couplings
 
 
-def test_factored_out_of_scope_returns_none():
-    text = tj_input(6, 2, 2).replace("Orbitals=1", "Orbitals=2")
-    inp = parse_input(text)
+def tj2_input(nsite, nup, ndn, periodic=0, hund="0"):
+    """2-orbital t-J chain with full 2x2 orbital connectors."""
+    def term(d0, d1, off):
+        return f"""DegreesOfFreedom=2
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 2 2
+{d0} {off}
+{off} {d1}
+"""
+    return (f"TotalNumberOfSites={nsite}\nNumberOfTerms=4\n"
+            + term(-1.0, -0.8, 0.2) + term(0.4, 0.3, 0.1)
+            + term(0.35, 0.3, 0.0) + term(-0.1, 0.1, 0.0)
+            + f"""Model=TjMultiOrb
+Orbitals=2
+JHundInfinity={hund}
+potentialV {4 * nsite} {' '.join(
+        f'{0.05 * (i + 1):.2f}' for i in range(4 * nsite))}
+SolverOptions=none
+TargetElectronsUp={nup}
+TargetElectronsDown={ndn}
+IsPeriodicX={periodic}
+""")
+
+
+@pytest.mark.parametrize("nsite,nup,ndn,periodic", [
+    (3, 2, 2, 0),
+    (4, 2, 2, 1),
+    (4, 3, 2, 0),
+])
+def test_factored_multiorbital_matches_flat_dense(nsite, nup, ndn,
+                                                  periodic):
+    """2-orbital half-cut (per-(site,orbital) bits; the spatial cut
+    still factorizes): elementwise equal to the flat path, which is
+    brute-force oracle-tested in tests/test_tj.py."""
+    inp = parse_input(tj2_input(nsite, nup, ndn, periodic=periodic))
     model = build_model(inp, Geometry(inp))
-    basis = model.create_basis((2, 2))
+    basis = model.create_basis((nup, ndn))
+    flat_h = model.hamiltonian(basis)
+    fact = build_factored_tj(model, basis)
+    assert fact is not None and fact.dim == basis.size
+    eye = jnp.eye(basis.size, dtype=jnp.float64)
+    flat = np.asarray(flat_h.matmat_t(eye)).T
+    dense = np.asarray(fact.matmat_t(eye)).T
+    np.testing.assert_allclose(dense, flat, atol=1e-12)
+
+
+def test_factored_multiorbital_ground_state():
+    inp = parse_input(tj2_input(4, 3, 3, periodic=1))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((3, 3))
+    e_flat, _ = lz.lowest_states(model.hamiltonian(basis),
+                                 max_steps=150)
+    e_fact, _ = lz.lowest_states(build_factored_tj(model, basis),
+                                 max_steps=150)
+    assert e_fact[0] == pytest.approx(e_flat[0], abs=1e-9)
+
+
+def test_factored_out_of_scope_returns_none():
+    """JHundInfinity's reinterpretAndTruncate rotation stays on the
+    flat path."""
+    inp = parse_input(tj2_input(2, 1, 1, hund="1"))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((1, 1))
     assert build_factored_tj(model, basis) is None
 
 
