@@ -21,6 +21,18 @@ the legacy parser produces:
   direction-resolved ConstantValues connectors merge into one
   per-term Connectors vector (matrix-valued dirs are kept as
   matrices, one occurrence per direction is not supported)
+
+SUBSET BOUNDARY (deliberately exhaustive for this framework): the
+forms above cover every label the Lanczos++ models read, which is the
+capability contract (reference src/lanczos.cpp:191-192 merely hands
+the file to InputNg; no reference or DMRG++-family Lanczos input in
+the TestSuite uses anything further).  PsimagLite's full Ainur grammar
+additionally has `![...]` evaluated expressions and file-include
+forms; their semantics live in PsimagLite sources that are not
+available in this environment, so rather than guessing, statements
+using them raise a ValueError naming this boundary (a silent
+mis-parse would corrupt physics inputs).  Extend here if a real input
+ever needs them.
 """
 
 from __future__ import annotations
@@ -80,10 +92,22 @@ def parse_ainur(text: str) -> InputData:
         stmt = stmt.strip()
         if not stmt:
             continue
+        if stmt.startswith(("include", "%", "!")):
+            raise ValueError(
+                "ainur: `![...]` expressions and include forms are "
+                "outside the documented subset (module docstring: "
+                "their semantics live in PsimagLite sources "
+                "unavailable here); rewrite the value literally")
         if "=" not in stmt:
             raise ValueError(f"ainur: statement without '=': {stmt!r}")
         name, _, val = stmt.partition("=")
         name = name.strip()
+        if val.lstrip().startswith("!"):
+            raise ValueError(
+                "ainur: `![...]` expressions and include forms are "
+                "outside the documented subset (module docstring: "
+                "their semantics live in PsimagLite sources "
+                "unavailable here); rewrite the value literally")
         # optional leading type keyword
         parts = name.split()
         if len(parts) == 2 and parts[0].lower() in _TYPE_WORDS:

@@ -96,3 +96,15 @@ IsPeriodicX=0;
     model = build_model(inp, geom)
     eng = Engine(model, inp)
     assert np.isfinite(eng.ground_energy)
+
+
+def test_ainur_expression_forms_raise_at_the_subset_boundary():
+    """`![...]` expressions / include forms are outside the documented
+    subset (PsimagLite-only semantics): loud error, never a mis-parse."""
+    import pytest
+    from lanczosplusplus_tpu.io_.ainur import parse_ainur
+
+    for text in ('##Ainur1.0\nFiniteLoops=![7, [100, 0.5, 0]];\n',
+                 '##Ainur1.0\ninclude "other.ain";\n'):
+        with pytest.raises(ValueError, match="subset"):
+            parse_ainur(text)
