@@ -213,10 +213,19 @@ def distributed_lowest_states(ham, mesh: Mesh, num_states: int = 1,
 
     Spin-factorizable Hamiltonians run in distributed Kronecker form
     (shard-local MXU GEMM for the up factor; only the down factor pays
-    a collective); others pad + flatten to ELL, where XLA inserts the
-    x all-gather for the column gather.  Lanczos scalars are psum
-    reductions either way.  Returns (energies, vectors) with vectors
-    trimmed back to the unpadded dimension."""
+    a collective); block-factorized forms (BlockKronHamiltonian or a
+    PermutedHamiltonian wrapping one) run column-sharded with the
+    state replicated per matvec (parallel/blockkron_dist.py); others
+    pad + flatten to ELL, where XLA inserts the x all-gather for the
+    column gather.  Lanczos scalars are psum reductions either way.
+    Returns (energies, vectors) with vectors trimmed back to the
+    unpadded dimension."""
+    if hasattr(ham, "shapes") or (hasattr(ham, "inner")
+                                  and hasattr(ham, "perm")):
+        from lanczosplusplus_tpu.parallel.blockkron_dist import \
+            blockkron_lowest_states
+        return blockkron_lowest_states(ham, mesh, num_states, seed,
+                                       max_steps, **solve_kw)
     sham = shard_for_mesh(ham, mesh, prefer_kron=prefer_kron)
     return sharded_selective_solve(sham, mesh, ham.dim, num_states,
                                    seed, max_steps, **solve_kw)
