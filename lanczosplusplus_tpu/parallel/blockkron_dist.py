@@ -120,6 +120,20 @@ class DistBlockKron:
         return jax.lax.with_sharding_constraint(
             y, NamedSharding(self.mesh, P(ROWS)))
 
+    def matmat_t(self, xk):
+        """Batch-major SpMM for the distributed FTLM/KPM/spectral
+        recurrences: replicate the block, run the inner batched apply
+        (GSPMD partitions the GEMMs from the placed operand shardings),
+        re-shard the result."""
+        repl = NamedSharding(self.mesh, P())
+        bk = self.inner
+        xf = jax.lax.with_sharding_constraint(xk, repl)[:, :bk.dim]
+        y = bk.matmat_t(xf)
+        if self.dim > bk.dim:
+            y = jnp.pad(y, ((0, 0), (0, self.dim - bk.dim)))
+        return jax.lax.with_sharding_constraint(
+            y, NamedSharding(self.mesh, P(None, ROWS)))
+
 
 def shard_blockkron(bk: BlockKronHamiltonian,
                     mesh: Mesh) -> DistBlockKron:

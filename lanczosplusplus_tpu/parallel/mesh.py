@@ -49,8 +49,16 @@ def shard_for_mesh(ham, mesh: Mesh, prefer_kron: bool = True):
     form: Kronecker (parallel/kron.py — shard-local MXU GEMM for the
     up factor, one collective for the down factor) whenever the
     Hamiltonian has densifiable spin factors, else the padded flat ELL
-    (all-gather of x per matvec).  This is the production dispatch for
+    (all-gather of x per matvec).  Block-factorized forms
+    (BlockKronHamiltonian / PermutedHamiltonian) go column-sharded via
+    parallel/blockkron_dist.py.  This is the production dispatch for
     every distributed driver below."""
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        ham = ham.inner     # solve factored forms in block layout
+    if hasattr(ham, "shapes"):
+        from lanczosplusplus_tpu.parallel.blockkron_dist import \
+            shard_blockkron
+        return shard_blockkron(ham, mesh)
     if prefer_kron and getattr(ham, "factorized", None) is not None:
         from lanczosplusplus_tpu.parallel.kron import \
             shard_kron_hamiltonian
@@ -254,6 +262,17 @@ def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
     the padded dimension."""
     from lanczosplusplus_tpu.engine.ftlm import ftlm
 
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # factored wrapper: run in block layout (traces are basis-
+        # independent); permute diagonal operators into it
+        perm = np.asarray(ham.perm)
+        if operators:
+            operators = {
+                k: (op if hasattr(op, "matmat")
+                    or hasattr(op, "matmat_t")
+                    else np.asarray(op)[perm])
+                for k, op in operators.items()}
+        ham = ham.inner
     sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
@@ -285,6 +304,13 @@ def distributed_spectral_fleet(ham, mesh: Mesh, v0s, steps: int = 100):
     from lanczosplusplus_tpu.solver.lanczos import \
         tridiagonalize_plain_batched
 
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # factored wrapper: start vectors arrive in flat order —
+        # convert into the block layout (tridiagonals are invariant)
+        v0s = np.asarray(v0s)[:, np.asarray(ham.perm)]
+        if ham.sign is not None:
+            v0s = v0s * np.asarray(ham.sign)[None, :]
+        ham = ham.inner
     sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     v0s = jnp.asarray(np.asarray(v0s), dtype=sham.dtype)
@@ -303,6 +329,8 @@ def distributed_kpm_dos(ham, mesh: Mesh, num_moments: int = 256,
     from lanczosplusplus_tpu.engine.kpm import (chebyshev_moments,
                                                 spectral_bounds)
 
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        ham = ham.inner     # traces are basis-independent
     sham = shard_for_mesh(ham, mesh)
     dim, dimp = ham.dim, sham.dim
     if bounds is None:

@@ -441,3 +441,66 @@ IsPeriodicX=1
     assert evals_d[0] == pytest.approx(evals_s[0], abs=1e-9)
     ov = abs(np.vdot(vecs_d[0], np.asarray(vecs_s[0])))
     assert ov == pytest.approx(1.0, abs=1e-7)
+
+
+def test_distributed_ftlm_and_fleet_on_factored_form():
+    """distributed_ftlm / distributed_spectral_fleet accept the
+    factored (PermutedHamiltonian) forms: energies/tridiagonals match
+    the single-device FTLM/recurrence on the same form."""
+    from lanczosplusplus_tpu.engine.ftlm import ftlm
+    from lanczosplusplus_tpu.models.tj_factored import build_factored_tj
+
+    text = """
+TotalNumberOfSites=8
+NumberOfTerms=4
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.0
+Model=TjMultiOrb
+Orbitals=1
+SolverOptions=none
+TargetElectronsUp=3
+TargetElectronsDown=3
+IsPeriodicX=1
+"""
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((3, 3))
+    fact = build_factored_tj(model, basis)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    betas = np.asarray([0.5, 2.0])
+    docc = np.arange(fact.dim, dtype=np.float64)  # flat-order diag op
+    res_d = pmesh.distributed_ftlm(fact, mesh, betas, num_vectors=8,
+                                   steps=30, seed=7,
+                                   operators={"idx": docc})
+    res_s = ftlm(fact, betas, num_vectors=8, steps=30, seed=7,
+                 operators={"idx": docc})
+    np.testing.assert_allclose(res_d.energy, res_s.energy,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res_d.observables["idx"],
+                               res_s.observables["idx"],
+                               rtol=1e-8, atol=1e-8)
+
+    rng = np.random.default_rng(4)
+    v0s = rng.standard_normal((2, fact.dim))
+    v0s /= np.linalg.norm(v0s, axis=1, keepdims=True)
+    got = pmesh.distributed_spectral_fleet(fact, mesh, v0s, steps=30)
+    ref = lz.tridiagonalize_plain_batched(fact.inner,
+                                          v0s[:, np.asarray(fact.perm)],
+                                          30)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.alphas[:g.m], r.alphas[:r.m],
+                                   atol=1e-8)
