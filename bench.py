@@ -65,15 +65,20 @@ if __name__ == "__main__" and "--inner" not in sys.argv:
     env = dict(os.environ)
     want_device = (env.get("JAX_PLATFORMS") != "cpu" and
                    not env.get("LPP_BENCH_FORCE_CPU"))
+    # per-shape remote compiles cost minutes; the full TPU run with the
+    # round-3 sections (cross-share, scanned, refined oracles) needs
+    # ~25 min — a too-small budget here silently demotes the whole
+    # bench to CPU numbers
+    inner_budget = int(os.environ.get("LPP_BENCH_TIMEOUT_S", 3000))
     if want_device:
         if _device_backend_healthy():
-            line = _run_inner(env, 1200)
+            line = _run_inner(env, inner_budget)
         else:
             print("bench: accelerator probe failed", file=sys.stderr)
     if line is None:
         print("bench: falling back to CPU", file=sys.stderr)
         env["LPP_BENCH_FORCE_CPU"] = "1"
-        line = _run_inner(env, 1200)
+        line = _run_inner(env, inner_budget)
     if line is None:
         line = json.dumps({
             "metric": "hubbard_sector_spmv_nnz_per_s", "value": 0.0,
