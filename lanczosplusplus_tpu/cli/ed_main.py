@@ -16,16 +16,35 @@ from lanczosplusplus_tpu.engine.thermal import ExactDiag
 def run(argv=None):
     p = argparse.ArgumentParser(prog="ed++")
     p.add_argument("-f", dest="input", required=True)
-    p.add_argument("--ftlm", action="store_true",
-                   help="estimate <E>(T) by the finite-temperature "
-                        "Lanczos method instead of the full spectrum "
-                        "(scales to sectors dense eigh cannot touch)")
+    est = p.add_mutually_exclusive_group()
+    est.add_argument("--ftlm", action="store_true",
+                     help="estimate <E>(T) by the finite-temperature "
+                          "Lanczos method instead of the full spectrum "
+                          "(scales to sectors dense eigh cannot touch)")
+    est.add_argument("--ltlm", action="store_true",
+                     help="estimate <E>(T) by the low-temperature "
+                          "Lanczos method (symmetric estimator: the "
+                          "beta -> inf tail is exact, where plain FTLM "
+                          "is noisy)")
     args = p.parse_args(argv)
     inp = read_input(args.input)
     validate_input(inp)
     geometry = Geometry(inp)
     model = build_model(inp, geometry)
+    use_ltlm = args.ltlm or "ltlm" in inp.solver_options()
     use_ftlm = args.ftlm or "ftlm" in inp.solver_options()
+    if use_ltlm:
+        from lanczosplusplus_tpu.engine.ftlm import ltlm_schedule
+        schedule, res = ltlm_schedule(
+            model, inp,
+            num_vectors=inp.integer("FTLMVectors", default=16),
+            steps=inp.integer("FTLMSteps", default=80))
+        sys.stdout.write(
+            f"#tb={inp.string('TemperatureOrBeta', default='temperature')}"
+            " method=LTLM\n#Parameter Energy\n")
+        for tb, e in schedule:
+            sys.stdout.write(f"{tb} {e}\n")
+        return res
     if use_ftlm:
         from lanczosplusplus_tpu.engine.ftlm import ftlm_schedule
         schedule, res = ftlm_schedule(

@@ -279,12 +279,9 @@ def ltlm(ham, beta_grid, operators: Dict[str, object],
     return out
 
 
-def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
-                  seed: int = 982451653):
-    """<E>(T or beta) on the reference's TemperatureOrBeta* schedule
-    (ExactDiag.h:31-39 labels) estimated by FTLM instead of the full
-    spectrum — the `ed` capability at Hilbert dimensions where dense
-    diagonalization is impossible."""
+def _schedule_grid(inp):
+    """(tbs, beta_grid) from the reference's TemperatureOrBeta* labels
+    (ExactDiag.h:31-39)."""
     what = inp.string("TemperatureOrBeta", default="temperature")
     if what not in ("temperature", "beta"):
         raise ValueError("TemperatureOrBeta= must be beta or temperature")
@@ -298,6 +295,12 @@ def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
     else:
         beta_grid = np.asarray(
             [1.0 / t if abs(t) > tiny else 1.0 / tiny for t in tbs])
+    return tbs, beta_grid
+
+
+def _schedule_ham(model, inp):
+    """Sector Hamiltonian for the thermal schedule drivers: the
+    factored form under SolverOptions=factored, else the flat path."""
     basis = model.create_basis(model.default_parts(inp))
     dtype = np.complex128 if "useComplex" in inp.solver_options() \
         else np.float64
@@ -309,6 +312,32 @@ def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
             model, basis, model.default_parts(inp), dtype)
     if ham is None:
         ham = model.hamiltonian(basis, dtype=dtype)
+    return ham
+
+
+def ftlm_schedule(model, inp, num_vectors: int = 32, steps: int = 80,
+                  seed: int = 982451653):
+    """<E>(T or beta) on the reference's TemperatureOrBeta* schedule
+    (ExactDiag.h:31-39 labels) estimated by FTLM instead of the full
+    spectrum — the `ed` capability at Hilbert dimensions where dense
+    diagonalization is impossible."""
+    tbs, beta_grid = _schedule_grid(inp)
+    ham = _schedule_ham(model, inp)
     res = ftlm(ham, beta_grid, num_vectors=num_vectors, steps=steps,
                seed=seed)
     return [(tb, float(e)) for tb, e in zip(tbs, res.energy)], res
+
+
+def ltlm_schedule(model, inp, num_vectors: int = 16, steps: int = 80,
+                  seed: int = 982451653):
+    """<E>(T or beta) on the same schedule via the LTLM symmetric
+    estimator (A = H): noise-free in the beta -> inf limit where the
+    plain FTLM energy estimator decorrelates, so the low-temperature
+    tail of the `ed` curve is exact instead of O(1/sqrt(R))-noisy.
+    Costs one stored-V Lanczos run per random vector plus one
+    (M, dim)x(dim, M) MXU GEMM (the H projection)."""
+    tbs, beta_grid = _schedule_grid(inp)
+    ham = _schedule_ham(model, inp)
+    res = ltlm(ham, beta_grid, {"energy": ham},
+               num_vectors=num_vectors, steps=steps, seed=seed)
+    return [(tb, float(e)) for tb, e in zip(tbs, res["energy"])], res

@@ -114,7 +114,8 @@ class InputData:
         # seen in TestSuite inputs
         "MatrixVectorStored", "twositedmrg", "fixLegacyBugs",
         # tpu-native extensions
-        "useComplex", "factored", "reortho",
+        "useComplex", "factored", "reortho", "serialgf",
+        "ftlm", "ltlm",
     }
 
     def solver_options(self) -> set:

@@ -167,6 +167,29 @@ def test_ed_cli_ftlm(tmp_path, capsys):
         assert got[tb] == pytest.approx(e, abs=0.15)
 
 
+def test_ed_cli_ltlm(tmp_path, capsys):
+    """`ed --ltlm` runs the symmetric-estimator schedule; the largest-
+    beta point is ground-state-exact (the LTLM property plain FTLM
+    lacks) and the rest tracks the dense ExactDiag oracle."""
+    from lanczosplusplus_tpu.cli.ed_main import run
+    inp_file = tmp_path / "ltlm.inp"
+    inp_file.write_text(HUB.format(
+        n=4, n2=8, us=" ".join(["4"] * 4), vs=" ".join(["0"] * 8),
+        nup=2, ndown=2) + "FTLMVectors=32\nFTLMSteps=40\n")
+    run(["-f", str(inp_file), "--ltlm"])
+    out = capsys.readouterr().out
+    assert "method=LTLM" in out
+    from lanczosplusplus_tpu.engine.thermal import ExactDiag
+    inp = parse_input(inp_file.read_text())
+    model = build_model(inp, Geometry(inp))
+    exact = dict(ExactDiag(model, inp).schedule())
+    got = dict((float(l.split()[0]), float(l.split()[1]))
+               for l in out.splitlines() if not l.startswith("#"))
+    assert got.keys() == exact.keys()
+    for tb, e in exact.items():
+        assert got[tb] == pytest.approx(e, abs=0.15)
+
+
 def test_ltlm_low_temperature_observable():
     """The symmetric LTLM estimator stays accurate at low T where the
     plain FTLM observable estimator is noisy, and converges to
