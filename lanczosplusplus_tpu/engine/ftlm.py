@@ -214,7 +214,8 @@ def ftlm(ham, beta_grid, num_vectors: int = 32, steps: int = 80,
 
 def ltlm(ham, beta_grid, operators: Dict[str, object],
          num_vectors: int = 16, steps: int = 80,
-         seed: int = 982451653, start_vectors=None):
+         seed: int = 982451653, start_vectors=None,
+         trace_dim: Optional[int] = None):
     """Low-temperature Lanczos method (Aichhorn, Daghofer, Evertz &
     von der Linden, PRB 67, 161103(R) (2003)): the SYMMETRIC estimator
 
@@ -227,8 +228,10 @@ def ltlm(ham, beta_grid, operators: Dict[str, object],
     exactly as beta -> inf for every start vector.  Costs a stored-V
     Lanczos run per vector plus one (M, dim)x(dim, M) GEMM per
     operator (MXU).  Operators: (dim,) diagonal arrays or objects with
-    matmat/matmat_t, sector-preserving.  Returns
-    {name: (T,) array}, plus '_log_z' for the partition estimate."""
+    matmat/matmat_t, sector-preserving.  `trace_dim` is the true
+    Hilbert dimension when ham is padded for a device mesh (same
+    convention as `ftlm`).  Returns {name: (T,) array}, plus '_log_z'
+    for the partition estimate."""
     from lanczosplusplus_tpu.solver.lanczos import (
         random_start_block, tridiagonalize, tridiag_eigh)
 
@@ -274,7 +277,8 @@ def ltlm(ham, beta_grid, operators: Dict[str, object],
                 out[name][t] += float(half @ np.real(ritz[name]) @ half)
     for name in names:
         out[name] = out[name] / zs
-    out["_log_z"] = (np.log(zs) + np.log(dim / num_vectors)
+    out["_log_z"] = (np.log(zs)
+                     + np.log((trace_dim or dim) / num_vectors)
                      - beta_grid * e0)
     return out
 

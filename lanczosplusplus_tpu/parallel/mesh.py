@@ -258,8 +258,9 @@ def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
     mesh: each batched-recurrence step is a sharded SpMM (XLA inserts
     the state-block all-gather over ICI) and the per-column scalars are
     psum reductions.  Diagonal operators (1-D arrays) are padded
-    automatically; matmat-style operator objects must already act on
-    the padded dimension."""
+    automatically; matmat-style operator objects at the unpadded
+    sector dimension (e.g. the Hamiltonian itself) are sharded+padded
+    too (_pad_operators)."""
     from lanczosplusplus_tpu.engine.ftlm import ftlm
 
     if hasattr(ham, "inner") and hasattr(ham, "perm"):
@@ -277,18 +278,60 @@ def distributed_ftlm(ham, mesh: Mesh, beta_grid, num_vectors: int = 32,
     dim, dimp = ham.dim, sham.dim
     V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
                               seed, mesh)
-    ops = None
-    if operators:
-        ops = {}
-        for name, op in operators.items():
-            if hasattr(op, "matmat") or hasattr(op, "matmat_t"):
-                ops[name] = op
-            else:
-                diag = np.asarray(op)
-                ops[name] = jnp.pad(jnp.asarray(diag),
-                                    (0, dimp - diag.shape[0]))
+    ops = (_pad_operators(operators, ham, sham, mesh)
+           if operators else None)
     return ftlm(sham, beta_grid, steps=steps, start_vectors=V0,
                 trace_dim=dim, operators=ops)
+
+
+def _pad_operators(operators, ham, sham, mesh):
+    """Operator dict for the padded/sharded estimators: diagonal
+    arrays are zero-padded to the mesh dimension; matmat-style
+    operator objects still sized at the UNPADDED sector dimension
+    (e.g. the Hamiltonian itself, for <H>/<H^2> observables) are
+    sharded+padded the same way as the estimator's Hamiltonian;
+    already-padded objects pass through."""
+    dim, dimp = ham.dim, sham.dim
+    ops = {}
+    for name, op in operators.items():
+        if hasattr(op, "matmat") or hasattr(op, "matmat_t"):
+            if op is ham:
+                op = sham
+            elif getattr(op, "dim", dimp) == dim and dim != dimp:
+                op = shard_for_mesh(op, mesh)
+            ops[name] = op
+        else:
+            diag = np.asarray(op)
+            ops[name] = jnp.pad(jnp.asarray(diag),
+                                (0, dimp - diag.shape[0]))
+    return ops
+
+
+def distributed_ltlm(ham, mesh: Mesh, beta_grid, operators,
+                     num_vectors: int = 16, steps: int = 80,
+                     seed: int = 982451653):
+    """Low-temperature Lanczos (the symmetric estimator of
+    engine/ftlm.ltlm) with the sector row-sharded over the mesh: each
+    stored-V Lanczos run and each (M, dim)x(dim, M) operator-projection
+    GEMM runs with sharded operands (GSPMD inserts the collectives),
+    padded rows carry zero start amplitude.  Same ham/operator
+    conventions as distributed_ftlm."""
+    from lanczosplusplus_tpu.engine.ftlm import ltlm
+
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        perm = np.asarray(ham.perm)
+        operators = {
+            k: (op if hasattr(op, "matmat") or hasattr(op, "matmat_t")
+                else np.asarray(op)[perm])
+            for k, op in operators.items()}
+        ham = ham.inner
+    sham = shard_for_mesh(ham, mesh)
+    dim, dimp = ham.dim, sham.dim
+    V0 = _padded_random_block(dim, dimp, num_vectors, sham.dtype,
+                              seed, mesh)
+    ops = _pad_operators(operators, ham, sham, mesh)
+    return ltlm(sham, beta_grid, ops, steps=steps, start_vectors=V0,
+                trace_dim=dim)
 
 
 def distributed_spectral_fleet(ham, mesh: Mesh, v0s, steps: int = 100):

@@ -138,6 +138,30 @@ def test_distributed_ftlm_matches_single():
     np.testing.assert_allclose(res_d.observables["one"], 1.0, atol=1e-8)
 
 
+def test_distributed_ltlm_matches_single():
+    """Same seed => same padded random start block => the sharded
+    symmetric estimator reproduces the single-device ltlm."""
+    from lanczosplusplus_tpu.engine.ftlm import ltlm
+
+    ham = build_ham()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    betas = np.asarray([0.3, 1.0, 8.0])
+    docc = np.linspace(0.0, 1.0, ham.dim)
+    res_d = pmesh.distributed_ltlm(ham, mesh, betas,
+                                   {"obs": docc, "energy": ham},
+                                   num_vectors=6, steps=30, seed=5)
+    res_s = ltlm(ham, betas, {"obs": docc, "energy": ham},
+                 num_vectors=6, steps=30, seed=5)
+    np.testing.assert_allclose(res_d["obs"], res_s["obs"],
+                               rtol=1e-8, atol=1e-8)
+    # matmat-style operator at the UNPADDED dimension (H itself) is
+    # sharded+padded by _pad_operators
+    np.testing.assert_allclose(res_d["energy"], res_s["energy"],
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(res_d["_log_z"], res_s["_log_z"],
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_distributed_kpm_matches_single():
     from lanczosplusplus_tpu.engine.kpm import kpm_dos, spectral_bounds
 
