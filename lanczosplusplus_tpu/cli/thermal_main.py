@@ -30,6 +30,12 @@ def run(argv=None):
     p.add_argument("-m", dest="mu", type=float, default=0.0)
     p.add_argument("-C", dest="constant", type=float, default=0.0)
     p.add_argument("--spin", type=int, default=0)
+    p.add_argument("--ftlm", action="store_true",
+                   help="estimate the sector sweep by FTLM (per-sector "
+                        "stochastic ln Z and <E>) instead of full "
+                        "spectra — reaches sectors dense eigh cannot; "
+                        "Z/density/energy only (correlator poles need "
+                        "the full spectra)")
     args = p.parse_args(argv)
 
     inp = read_input(args.input)
@@ -39,6 +45,21 @@ def run(argv=None):
     name = inp.string("Model")
     kind = {"TjMultiOrb": "tj", "Heisenberg": "heisenberg"}.get(
         name, "hubbard")
+    if args.ftlm:
+        if args.operator != "i":
+            p.error("--ftlm supports Z/density/energy only "
+                    "(correlator poles need the full spectra)")
+        from lanczosplusplus_tpu.engine.thermal import GrandCanonicalFTLM
+        gf = GrandCanonicalFTLM(
+            model, geometry.number_of_sites(), [args.beta], kind=kind,
+            num_vectors=inp.integer("FTLMVectors", default=16),
+            steps=inp.integer("FTLMSteps", default=60))
+        lnz = gf.log_partition(args.beta, args.mu, args.constant)
+        print(f"density={gf.density(args.beta, args.mu, args.constant)}"
+              f" lnZPartition={lnz}", file=sys.stderr)
+        print(f"energy={gf.energy(args.beta, args.mu, args.constant)}"
+              f" lnZPartition={lnz}", file=sys.stderr)
+        return gf
     gc = GrandCanonical(model, geometry.number_of_sites(), kind=kind)
     z = gc.partition(args.beta, args.mu, args.constant)
     print(f"density={gc.density(args.beta, args.mu, args.constant)} "

@@ -94,6 +94,22 @@ def operator_matrix(model, op_name, site, spin, orb, src_basis, dst_basis):
     return a
 
 
+def _sector_parts_list(model, nsite: int, kind: str, nmax: int):
+    """Sector lattice of the grand-canonical sweep.  The vacuum sector
+    is included (the reference's grandCanonical.pl sweep omits it; its
+    e^0 term belongs in Z); kind selects the sector lattice as
+    grandCanonical.pl's canonical / tj / Heisenberg filters do
+    (grandCanonical.pl:23-57)."""
+    if kind == "heisenberg":
+        twice_s = getattr(model, "twice_s", 1)
+        return [(twice_s, szpc) for szpc in range(nsite * twice_s + 1)]
+    return [(nup, ndown)
+            for nup in range(nsite + 1)
+            for ndown in range(nsite + 1)
+            if nup + ndown <= nmax and
+            not (kind == "tj" and nup + ndown > nsite)]
+
+
 class GrandCanonical:
     """Full-spectra sweep over all (nup, ndown) sectors of a model
     (replaces scripts/grandCanonical.pl + src/thermal.cpp)."""
@@ -105,21 +121,7 @@ class GrandCanonical:
         self.sectors: List[SectorSpectrum] = []
         self._bases = {}
         nmax = max_electrons if max_electrons is not None else 2 * nsite
-        # the vacuum sector is included (the reference's
-        # grandCanonical.pl sweep omits it; its e^0 term belongs in Z);
-        # kind selects the sector lattice as grandCanonical.pl's
-        # canonical / tj / Heisenberg filters do (grandCanonical.pl:23-57)
-        if kind == "heisenberg":
-            twice_s = getattr(model, "twice_s", 1)
-            parts_list = [(twice_s, szpc)
-                          for szpc in range(nsite * twice_s + 1)]
-        else:
-            parts_list = [(nup, ndown)
-                          for nup in range(nsite + 1)
-                          for ndown in range(nsite + 1)
-                          if nup + ndown <= nmax and
-                          not (kind == "tj" and nup + ndown > nsite)]
-        for parts in parts_list:
+        for parts in _sector_parts_list(model, nsite, kind, nmax):
             try:
                 basis = model.create_basis(parts)
             except Exception:
@@ -199,3 +201,98 @@ class GrandCanonical:
                 poles.append((float(om), float(np.real(v))))
             total += float(val.sum().real)
         return poles, total
+
+
+class GrandCanonicalFTLM:
+    """Lanczos-scalable grand-canonical sweep: per-sector ln Z(beta)
+    and <E>(beta) from the FTLM stochastic-trace estimator
+    (engine/ftlm.py) instead of full spectra, combined over sectors as
+
+        Z_gc(beta, mu) = sum_s e^{beta mu N_s} Z_s(beta).
+
+    The reference's pipeline (thermal.cpp + grandCanonical.pl) needs
+    the COMPLETE spectrum of every sector — dense O(dim^3) — so it
+    cannot leave ~1e4-dim sectors; this estimator runs on the batched
+    SpMM recurrence and reaches every sector the Lanczos solver does.
+    Sectors at or below `dense_cutoff` use the exact dense spectrum
+    (there FTLM's random-vector trace is pure overhead).
+
+    Betas are fixed at construction (the per-sector estimates are
+    computed once over the grid); mu stays a free parameter of every
+    query, exactly like `GrandCanonical`."""
+
+    def __init__(self, model, nsite: int, beta_grid,
+                 kind: str = "hubbard",
+                 max_electrons: Optional[int] = None,
+                 num_vectors: int = 16, steps: int = 60,
+                 dense_cutoff: int = 256, seed: int = 982451653,
+                 dtype=np.float64):
+        from lanczosplusplus_tpu.engine.ftlm import ftlm
+
+        self.beta_grid = np.asarray(beta_grid, dtype=np.float64)
+        self.model = model
+        self.nsite = nsite
+        # per sector: (nelectrons, log_z (T,), energy (T,))
+        self.sector_data: List[tuple] = []
+        nmax = max_electrons if max_electrons is not None else 2 * nsite
+        for parts in _sector_parts_list(model, nsite, kind, nmax):
+            try:
+                basis = model.create_basis(parts)
+            except Exception:
+                continue
+            if basis.size == 0:
+                continue
+            ne = parts[1] if kind == "heisenberg" else sum(parts)
+            if basis.size <= dense_cutoff:
+                spec = full_spectrum(model, basis, dtype=dtype,
+                                     nelectrons=ne)
+                e = spec.evals
+                a = -self.beta_grid[:, None] * e[None, :]
+                shift = a.max(axis=1)
+                w = np.exp(a - shift[:, None])
+                log_z = shift + np.log(w.sum(axis=1))
+                energy = (w * e[None, :]).sum(axis=1) / w.sum(axis=1)
+            else:
+                ham = model.hamiltonian(basis, dtype=dtype)
+                res = ftlm(ham, self.beta_grid,
+                           num_vectors=num_vectors,
+                           steps=steps, seed=seed)
+                log_z = res.log_z
+                energy = res.energy
+            self.sector_data.append((int(ne), log_z, energy))
+
+    def _beta_index(self, beta: float) -> int:
+        i = int(np.argmin(np.abs(self.beta_grid - beta)))
+        if abs(self.beta_grid[i] - beta) > 1e-9 * max(1.0, abs(beta)):
+            raise ValueError(
+                f"beta={beta} not on the construction grid "
+                f"{self.beta_grid}")
+        return i
+
+    def _weights(self, beta: float, mu: float, constant: float):
+        """Stabilized per-sector grand-canonical weights
+        w_s = exp(beta (mu N_s + constant) + ln Z_s - shift)."""
+        i = self._beta_index(beta)
+        logw = np.asarray([beta * (mu * ne + constant) + log_z[i]
+                           for (ne, log_z, _) in self.sector_data])
+        shift = logw.max()
+        return np.exp(logw - shift), shift, i
+
+    def log_partition(self, beta: float, mu: float,
+                      constant: float = 0.0) -> float:
+        w, shift, _ = self._weights(beta, mu, constant)
+        return float(shift + np.log(w.sum()))
+
+    def density(self, beta: float, mu: float,
+                constant: float = 0.0) -> float:
+        w, _, _ = self._weights(beta, mu, constant)
+        num = sum(wi * ne for wi, (ne, _, _)
+                  in zip(w, self.sector_data))
+        return float(num / w.sum())
+
+    def energy(self, beta: float, mu: float,
+               constant: float = 0.0) -> float:
+        w, _, i = self._weights(beta, mu, constant)
+        num = sum(wi * e[i] for wi, (_, _, e)
+                  in zip(w, self.sector_data))
+        return float(num / w.sum())

@@ -111,6 +111,52 @@ def test_grand_canonical_vs_direct():
     assert gc.density(beta, mu) == pytest.approx(n_num / z_direct, rel=1e-10)
 
 
+def test_grand_canonical_ftlm_dense_path_exact():
+    """With dense_cutoff covering every sector, GrandCanonicalFTLM's
+    log-domain combination reproduces the full-spectra GrandCanonical
+    exactly."""
+    from lanczosplusplus_tpu.engine.thermal import GrandCanonicalFTLM
+
+    inp = hub_input(2, 1, 1, u=3.0)
+    model = build_model(inp, Geometry(inp))
+    gc = GrandCanonical(model, nsite=2)
+    betas = [0.4, 1.3]
+    gf = GrandCanonicalFTLM(model, nsite=2, beta_grid=betas,
+                            dense_cutoff=1 << 20)
+    for beta in betas:
+        for mu in (0.0, 0.7):
+            assert gf.log_partition(beta, mu) == pytest.approx(
+                np.log(gc.partition(beta, mu)), rel=1e-10)
+            assert gf.energy(beta, mu) == pytest.approx(
+                gc.energy(beta, mu), rel=1e-10)
+            assert gf.density(beta, mu) == pytest.approx(
+                gc.density(beta, mu), rel=1e-10)
+    with pytest.raises(ValueError):
+        gf.energy(0.9, 0.0)  # beta off the construction grid
+
+
+def test_grand_canonical_ftlm_estimator_tracks_exact():
+    """4-site Hubbard with the larger sectors estimated by FTLM: the
+    grand-canonical observables track the full-spectra oracle within
+    the stochastic tolerance."""
+    from lanczosplusplus_tpu.engine.thermal import GrandCanonicalFTLM
+
+    inp = hub_input(4, 2, 2, u=4.0)
+    model = build_model(inp, Geometry(inp))
+    gc = GrandCanonical(model, nsite=4)
+    betas = [0.5, 2.0]
+    gf = GrandCanonicalFTLM(model, nsite=4, beta_grid=betas,
+                            dense_cutoff=8, num_vectors=32, steps=36)
+    for beta in betas:
+        for mu in (0.0, 1.0):
+            assert gf.energy(beta, mu) == pytest.approx(
+                gc.energy(beta, mu), abs=0.2)
+            assert gf.density(beta, mu) == pytest.approx(
+                gc.density(beta, mu), abs=0.1)
+            assert gf.log_partition(beta, mu) == pytest.approx(
+                np.log(gc.partition(beta, mu)), abs=0.1)
+
+
 def test_grand_canonical_correlation_sum_rule():
     """sum of <c^dag_i c_i> pole weights == thermal <n_i_up>."""
     inp = hub_input(2, 1, 1, u=2.0)
