@@ -53,7 +53,8 @@ def run(argv=None):
         gf = GrandCanonicalFTLM(
             model, geometry.number_of_sites(), [args.beta], kind=kind,
             num_vectors=inp.integer("FTLMVectors", default=16),
-            steps=inp.integer("FTLMSteps", default=60))
+            steps=inp.integer("FTLMSteps", default=60),
+            factored="factored" in inp.solver_options())
         lnz = gf.log_partition(args.beta, args.mu, args.constant)
         print(f"density={gf.density(args.beta, args.mu, args.constant)}"
               f" lnZPartition={lnz}", file=sys.stderr)

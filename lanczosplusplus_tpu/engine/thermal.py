@@ -226,7 +226,7 @@ class GrandCanonicalFTLM:
                  max_electrons: Optional[int] = None,
                  num_vectors: int = 16, steps: int = 60,
                  dense_cutoff: int = 256, seed: int = 982451653,
-                 dtype=np.float64):
+                 dtype=np.float64, factored: bool = False):
         from lanczosplusplus_tpu.engine.ftlm import ftlm
 
         self.beta_grid = np.asarray(beta_grid, dtype=np.float64)
@@ -253,7 +253,19 @@ class GrandCanonicalFTLM:
                 log_z = shift + np.log(w.sum(axis=1))
                 energy = (w * e[None, :]).sum(axis=1) / w.sum(axis=1)
             else:
-                ham = model.hamiltonian(basis, dtype=dtype)
+                ham = None
+                if factored:
+                    from lanczosplusplus_tpu.models import \
+                        factored_hamiltonian_or_none
+                    ham = factored_hamiltonian_or_none(
+                        model, basis, parts, dtype)
+                    if ham is not None and hasattr(ham, "inner") \
+                            and hasattr(ham, "perm"):
+                        # traces are basis-independent: run in block
+                        # layout, never pay the flat-order perm gather
+                        ham = ham.inner
+                if ham is None:
+                    ham = model.hamiltonian(basis, dtype=dtype)
                 res = ftlm(ham, self.beta_grid,
                            num_vectors=num_vectors,
                            steps=steps, seed=seed)

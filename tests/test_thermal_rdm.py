@@ -157,6 +157,46 @@ def test_grand_canonical_ftlm_estimator_tracks_exact():
                 np.log(gc.partition(beta, mu)), abs=0.1)
 
 
+def test_grand_canonical_ftlm_factored_heisenberg():
+    """kind=heisenberg sweep with SolverOptions=factored routing: the
+    per-sector FTLM runs on the block-factorized forms (block layout,
+    no perm-gather wrap) and tracks the full-spectra oracle."""
+    from lanczosplusplus_tpu.engine.thermal import (GrandCanonical,
+                                                    GrandCanonicalFTLM)
+
+    n = 8
+    text = f"""
+TotalNumberOfSites={n}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst={n // 2}
+SolverOptions=factored
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    gc = GrandCanonical(model, nsite=n, kind="heisenberg")
+    betas = [0.5, 2.0]
+    gf = GrandCanonicalFTLM(model, nsite=n, beta_grid=betas,
+                            kind="heisenberg", dense_cutoff=8,
+                            num_vectors=24, steps=40, factored=True)
+    for beta in betas:
+        for mu in (0.0, 0.5):
+            assert gf.energy(beta, mu) == pytest.approx(
+                gc.energy(beta, mu), abs=0.2)
+            assert gf.density(beta, mu) == pytest.approx(
+                gc.density(beta, mu), abs=0.15)
+
+
 def test_grand_canonical_correlation_sum_rule():
     """sum of <c^dag_i c_i> pole weights == thermal <n_i_up>."""
     inp = hub_input(2, 1, 1, u=2.0)
