@@ -232,7 +232,7 @@ class GrandCanonicalFTLM:
         self.beta_grid = np.asarray(beta_grid, dtype=np.float64)
         self.model = model
         self.nsite = nsite
-        # per sector: (nelectrons, log_z (T,), energy (T,))
+        # per sector: (nelectrons, log_z (T,), energy (T,), energy2 (T,))
         self.sector_data: List[tuple] = []
         nmax = max_electrons if max_electrons is not None else 2 * nsite
         for parts in _sector_parts_list(model, nsite, kind, nmax):
@@ -252,6 +252,8 @@ class GrandCanonicalFTLM:
                 w = np.exp(a - shift[:, None])
                 log_z = shift + np.log(w.sum(axis=1))
                 energy = (w * e[None, :]).sum(axis=1) / w.sum(axis=1)
+                energy2 = (w * e[None, :] ** 2).sum(axis=1) \
+                    / w.sum(axis=1)
             else:
                 ham = None
                 if factored:
@@ -271,7 +273,8 @@ class GrandCanonicalFTLM:
                            steps=steps, seed=seed)
                 log_z = res.log_z
                 energy = res.energy
-            self.sector_data.append((int(ne), log_z, energy))
+                energy2 = res.energy2
+            self.sector_data.append((int(ne), log_z, energy, energy2))
 
     def _beta_index(self, beta: float) -> int:
         i = int(np.argmin(np.abs(self.beta_grid - beta)))
@@ -286,7 +289,7 @@ class GrandCanonicalFTLM:
         w_s = exp(beta (mu N_s + constant) + ln Z_s - shift)."""
         i = self._beta_index(beta)
         logw = np.asarray([beta * (mu * ne + constant) + log_z[i]
-                           for (ne, log_z, _) in self.sector_data])
+                           for (ne, log_z, _, _) in self.sector_data])
         shift = logw.max()
         return np.exp(logw - shift), shift, i
 
