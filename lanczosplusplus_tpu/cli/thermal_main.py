@@ -60,6 +60,8 @@ def run(argv=None):
               f" lnZPartition={lnz}", file=sys.stderr)
         print(f"energy={gf.energy(args.beta, args.mu, args.constant)}"
               f" lnZPartition={lnz}", file=sys.stderr)
+        print(f"cv={gf.specific_heat(args.beta, args.mu, args.constant)}"
+              f" lnZPartition={lnz}", file=sys.stderr)
         return gf
     gc = GrandCanonical(model, geometry.number_of_sites(), kind=kind)
     z = gc.partition(args.beta, args.mu, args.constant)

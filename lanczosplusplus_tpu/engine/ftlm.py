@@ -342,6 +342,12 @@ def ltlm_schedule(model, inp, num_vectors: int = 16, steps: int = 80,
     (M, dim)x(dim, M) MXU GEMM (the H projection)."""
     tbs, beta_grid = _schedule_grid(inp)
     ham = _schedule_ham(model, inp)
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # traces are basis-independent: run the recurrence and the H
+        # projection in the block layout; the PermutedHamiltonian
+        # wrap's whole-dim perm gather per matvec is catastrophic on
+        # TPU (mirrors ftlm() / GrandCanonicalFTLM)
+        ham = ham.inner
     res = ltlm(ham, beta_grid, {"energy": ham},
                num_vectors=num_vectors, steps=steps, seed=seed)
     return [(tb, float(e)) for tb, e in zip(tbs, res["energy"])], res

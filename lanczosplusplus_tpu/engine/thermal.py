@@ -301,13 +301,28 @@ class GrandCanonicalFTLM:
     def density(self, beta: float, mu: float,
                 constant: float = 0.0) -> float:
         w, _, _ = self._weights(beta, mu, constant)
-        num = sum(wi * ne for wi, (ne, _, _)
+        num = sum(wi * ne for wi, (ne, _, _, _)
                   in zip(w, self.sector_data))
         return float(num / w.sum())
 
     def energy(self, beta: float, mu: float,
                constant: float = 0.0) -> float:
         w, _, i = self._weights(beta, mu, constant)
-        num = sum(wi * e[i] for wi, (_, _, e)
+        num = sum(wi * e[i] for wi, (_, _, e, _)
                   in zip(w, self.sector_data))
         return float(num / w.sum())
+
+    def specific_heat(self, beta: float, mu: float,
+                      constant: float = 0.0) -> float:
+        """Cv(beta, mu) = beta^2 (<H^2>_gc - <H>_gc^2) at constant mu,
+        combining the per-sector <E> and <E^2> FTLM traces with the
+        grand-canonical sector weights (the consumer of the energy2
+        field; reference full-spectrum analogue: thermal.cpp:192-232
+        Boltzmann sums)."""
+        w, _, i = self._weights(beta, mu, constant)
+        z = w.sum()
+        e = sum(wi * e1[i] for wi, (_, _, e1, _)
+                in zip(w, self.sector_data)) / z
+        e2 = sum(wi * e2v[i] for wi, (_, _, _, e2v)
+                 in zip(w, self.sector_data)) / z
+        return float(beta ** 2 * (e2 - e ** 2))

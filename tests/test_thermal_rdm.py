@@ -131,6 +131,17 @@ def test_grand_canonical_ftlm_dense_path_exact():
                 gc.energy(beta, mu), rel=1e-10)
             assert gf.density(beta, mu) == pytest.approx(
                 gc.density(beta, mu), rel=1e-10)
+            # Cv oracle straight from the full spectra:
+            # beta^2 (<E^2> - <E>^2) over the grand-canonical weights
+            z = e1 = e2 = 0.0
+            for s in gc.sectors:
+                w = np.exp(beta * (mu * s.nelectrons - s.evals))
+                z += w.sum()
+                e1 += (w * s.evals).sum()
+                e2 += (w * s.evals ** 2).sum()
+            cv = beta ** 2 * (e2 / z - (e1 / z) ** 2)
+            assert gf.specific_heat(beta, mu) == pytest.approx(
+                cv, rel=1e-9, abs=1e-12)
     with pytest.raises(ValueError):
         gf.energy(0.9, 0.0)  # beta off the construction grid
 
