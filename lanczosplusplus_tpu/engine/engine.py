@@ -60,11 +60,14 @@ class Engine:
         use_symmetry = (inp.integer("UseTranslationSymmetry", default=0) or
                         inp.integer("UseReflectionSymmetry", default=0))
         self._factored = False
+        self.factored_fallback_reason = None
         if "factored" in inp.solver_options() and not use_symmetry:
             # attempt the block factorization; models/inputs without
             # one (or with restrictions the factored builders cannot
-            # serve) fall back to the flat gather path silently
-            ham_f = self._factored_hamiltonian(self.parts, self.basis)
+            # serve) fall back to the flat gather path LOUDLY — on TPU
+            # that degradation is a measured 34-1171x matvec cliff
+            ham_f = self._factored_hamiltonian(
+                self.parts, self.basis, warn=self._warn_fallback)
             if ham_f is not None:
                 self._factored = True
                 self._ham_cache = {self.parts: ham_f}
@@ -83,9 +86,14 @@ class Engine:
                     return_info=True)
                 self._log_solve(info)
 
+    def _warn_fallback(self, reason: str):
+        self.factored_fallback_reason = reason
+        self.progress(f"WARNING: {reason}")
+
     def _log_solve(self, info):
         """Reference-style convergence report (Engine.h:624-639 prints
         'lanczos solver failed ... trying fullDiag')."""
+        info.factored_fallback = self.factored_fallback_reason
         self.solve_info = info
         if info.used_dense_fallback and info.steps:
             self.progress(
@@ -127,7 +135,7 @@ class Engine:
         self._energies = evals
         self._vectors = [np.asarray(v) for v in vecs]
 
-    def _factored_hamiltonian(self, parts, basis):
+    def _factored_hamiltonian(self, parts, basis, warn=None):
         """Flat-ordered block-factorized Hamiltonian or None: Sz-blocked
         half-cut for a Heisenberg sector of any spin S (any szpc, so
         dynamic-run sectors from s+/s- use it too), plain half-cut
@@ -137,7 +145,8 @@ class Engine:
         from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
 
         return factored_hamiltonian_or_none(
-            self.model, basis, parts, self.config.scalar_dtype)
+            self.model, basis, parts, self.config.scalar_dtype,
+            warn=warn)
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:

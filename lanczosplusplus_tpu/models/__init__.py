@@ -1,7 +1,7 @@
 from lanczosplusplus_tpu.models.registry import build_model  # noqa: F401
 
 
-def factored_hamiltonian_or_none(model, basis, parts, dtype):
+def factored_hamiltonian_or_none(model, basis, parts, dtype, warn=None):
     """The half-cut block-factorized Hamiltonian for models that have
     one (arbitrary-S Heisenberg Sz sectors, Kitaev full space, Rashba
     SOC total-N sectors, t-J spatial half-cut, FeAs spin-orbit
@@ -9,7 +9,10 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
     (SolverOptions=factored) and the FTLM schedule so the model-dispatch
     logic lives in exactly one place.  Model restrictions a factored
     builder cannot serve (e.g. asymmetric Heisenberg couplings) return
-    None too, so every caller keeps its flat-path fallback."""
+    None too, so every caller keeps its flat-path fallback.  `warn` is
+    an optional callable(str): invoked with the reason whenever the
+    factored form is unavailable, so SolverOptions=factored never
+    degrades to the 34-1171x-slower gather path silently."""
     name = type(model).__name__
     try:
         if name == "KitaevModel":
@@ -38,6 +41,13 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype):
             from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
                 build_factored_feas_spinorbit
             return build_factored_feas_spinorbit(model, basis, dtype=dtype)
-    except NotImplementedError:
+    except NotImplementedError as e:
+        if warn is not None:
+            warn(f"SolverOptions=factored: no factored form for "
+                 f"{name} on this input ({e}); falling back to the "
+                 f"flat gather path")
         return None
+    if warn is not None:
+        warn(f"SolverOptions=factored: {name} has no factored "
+             f"builder; falling back to the flat gather path")
     return None

@@ -501,6 +501,10 @@ class SolveInfo:
     residual: float          # a-posteriori Ritz residual (relative)
     steps: int               # Lanczos steps actually run
     used_dense_fallback: bool = False
+    # set by Engine when SolverOptions=factored degraded to the flat
+    # gather path (a measured 34-1171x matvec cliff on TPU); None when
+    # the factored form was used or was never requested
+    factored_fallback: str | None = None
 
 
 def _dense_solve(ham, num_states: int):
@@ -528,9 +532,17 @@ def _maybe_refine(ham, evals, vecs):
                     and not hasattr(ham, "shapes"))
     try:
         if is_flat_real:
-            return np.array([df64.refined_energy(ham, np.asarray(v))
+            # all on chip: df64 residuals + f32 GMRES corrections, no
+            # flop cap at any dimension
+            return np.array([df64.chip_rqi_refined_energy(
+                ham, np.asarray(v)) for v in vecs])
+        flops = df64.refinement_flops(ham)
+        if flops * 4 * len(vecs) <= 1.5e12:
+            # full RQI: ~4 host f64 matvecs per state
+            return np.array([df64.rqi_refined_energy(ham, np.asarray(v))
                              for v in vecs])
-        if df64.refinement_flops(ham) * len(vecs) <= 4e11:
+        if flops * len(vecs) <= 4e11:
+            # single host-f64 Rayleigh quotient (quadratic error only)
             return np.array([df64.host_refined_energy(ham, np.asarray(v))
                              for v in vecs])
     except NotImplementedError:

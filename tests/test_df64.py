@@ -211,3 +211,35 @@ def test_host_refined_energy_complex():
     want = float(np.real(x.conj() @ (m_stored @ x)) /
                  np.real(x.conj() @ x))
     assert abs(got - want) < 1e-12 * max(abs(want), 1.0)
+
+
+def test_rqi_factored_reaches_f64_bar():
+    """Mixed-precision RQI on factored block forms (host-f64 residual +
+    device f32 GMRES correction) reaches <= 1e-10 relative where the
+    single Rayleigh quotient stalls at ~1e-6 (VERDICT r3 item 4 bar)."""
+    from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
+
+    inp = _heis_input(nsite=10, twice_s=1, szpc=5)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(model.default_parts(inp))
+    fac32 = factored_hamiltonian_or_none(model, basis, (0, 5),
+                                         np.float32)
+    assert fac32 is not None
+    ham64 = model.hamiltonian(basis, dtype=np.float64)
+    e64, _ = lz.lowest_states(ham64, max_steps=150)
+    # the automatic path routes f32 factored solves through RQI
+    e32, _ = lz.lowest_states(fac32, max_steps=150,
+                              dense_fallback_dim=0)
+    assert abs(float(e32[0]) - e64[0]) / abs(e64[0]) < 1e-10
+
+
+def test_chip_rqi_flat_form_reaches_f64_bar():
+    """On-chip RQI (df64 residual + f32 GMRES) on a flat real form
+    reaches <= 1e-10 relative — with no host matvec and no flop cap."""
+    ham32 = _hubbard(8, np.float32)
+    ham64 = _hubbard(8, np.float64)
+    e64, _ = lz.lowest_states(ham64, max_steps=150)
+    e32, v32 = lz.lowest_states(ham32, max_steps=150, refine=False,
+                                dense_fallback_dim=0)
+    got = df64.chip_rqi_refined_energy(ham32, np.asarray(v32[0]))
+    assert abs(got - e64[0]) / abs(e64[0]) < 1e-10

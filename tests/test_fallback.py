@@ -71,6 +71,71 @@ def test_converged_solve_reports_converged():
     np.testing.assert_allclose(float(evals[0]), exact[0], atol=1e-9)
 
 
+def test_factored_fallback_is_loud():
+    """SolverOptions=factored on a model with no factored builder must
+    warn (ProgressIndicator + SolveInfo.factored_fallback) and still
+    complete the solve on the flat path (VERDICT r3 item 7)."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 4 0 0 0 0
+potentialV 8 0 0 0 0 0 0 0 0
+SolverOptions=factored
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    eng = Engine(build_model(inp, Geometry(inp)), inp)
+    assert eng.factored_fallback_reason is not None
+    assert "factored" in eng.factored_fallback_reason
+    assert eng.solve_info.factored_fallback == \
+        eng.factored_fallback_reason
+    # the solve still completed on the flat path: U=0 open 4-site chain
+    assert eng.ground_energy == pytest.approx(-4.472135955, abs=1e-6)
+
+
+def test_factored_used_reports_no_fallback():
+    """A model WITH a factored builder must not set the fallback flag."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    n = 8
+    text = f"""
+TotalNumberOfSites={n}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst={n // 2}
+SolverOptions=factored
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    eng = Engine(build_model(inp, Geometry(inp)), inp)
+    assert eng.factored_fallback_reason is None
+    assert eng.solve_info.factored_fallback is None
+
+
 def test_memory_bounded_restarted_lanczos():
     """When the Krylov budget blocks step-doubling, lowest_states
     restarts from the current Ritz vector instead of returning an
