@@ -226,7 +226,7 @@ class GrandCanonicalFTLM:
                  max_electrons: Optional[int] = None,
                  num_vectors: int = 16, steps: int = 60,
                  dense_cutoff: int = 256, seed: int = 982451653,
-                 dtype=np.float64, factored: bool = False):
+                 dtype=np.float64, factored: bool = False, mesh=None):
         from lanczosplusplus_tpu.engine.ftlm import ftlm
 
         self.beta_grid = np.asarray(beta_grid, dtype=np.float64)
@@ -268,9 +268,20 @@ class GrandCanonicalFTLM:
                         ham = ham.inner
                 if ham is None:
                     ham = model.hamiltonian(basis, dtype=dtype)
-                res = ftlm(ham, self.beta_grid,
-                           num_vectors=num_vectors,
-                           steps=steps, seed=seed)
+                if mesh is not None:
+                    # row-shard each large sector's FTLM recurrence
+                    # over the device mesh; the dense-cutoff sectors
+                    # above stay host-side either way
+                    from lanczosplusplus_tpu.parallel.mesh import \
+                        distributed_ftlm
+                    res = distributed_ftlm(
+                        ham, mesh, self.beta_grid,
+                        num_vectors=num_vectors, steps=steps,
+                        seed=seed)
+                else:
+                    res = ftlm(ham, self.beta_grid,
+                               num_vectors=num_vectors,
+                               steps=steps, seed=seed)
                 log_z = res.log_z
                 energy = res.energy
                 energy2 = res.energy2

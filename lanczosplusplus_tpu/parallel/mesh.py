@@ -362,6 +362,80 @@ def distributed_spectral_fleet(ham, mesh: Mesh, v0s, steps: int = 100):
     return tridiagonalize_plain_batched(sham, v0s, steps)
 
 
+def _perm_layout(ham):
+    """(to_block, to_flat, inner) converters for an optionally
+    PermutedHamiltonian-wrapped sector Hamiltonian.  block = sign *
+    flat[perm]; flat = (sign * block)[inv] (core/blockkron.py
+    conventions, matching lowest_states' eigenvector conversion)."""
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        perm = np.asarray(ham.perm)
+        inv = np.asarray(ham.inv)
+        sign = np.asarray(ham.sign) if ham.sign is not None else None
+
+        def to_block(x):
+            xb = np.asarray(x)[perm]
+            return xb * sign if sign is not None else xb
+
+        def to_flat(xb):
+            xb = np.asarray(xb)
+            if sign is not None:
+                xb = xb * sign
+            return xb[inv]
+
+        return to_block, to_flat, ham.inner
+
+    def ident(x):
+        return np.asarray(x)
+
+    return ident, ident, ham
+
+
+def distributed_ftlm_dynamic(ham_src, ham_dst, apply_b, mesh: Mesh,
+                             num_vectors: int = 16, steps: int = 100,
+                             seed: int = 152917, apply_a=None,
+                             start_vectors=None):
+    """FTLM double-Krylov finite-T dynamics (engine/ftlm_dynamic.py)
+    with BOTH sector Hamiltonians row-sharded over the mesh: every
+    stored-V tridiagonalization runs on sharded operands (GSPMD
+    re-lowers the jitted scans with the mesh shardings) and the cross
+    coupling GEMM contracts the sharded Krylov blocks.  apply_b /
+    apply_a keep the single-device convention (unpadded numpy vectors
+    in FLAT order); padding and any factored-form block-layout
+    conversion happen here.  Padded rows carry zero start amplitude,
+    so the returned pole data equals the single-device estimator's."""
+    import dataclasses
+
+    from lanczosplusplus_tpu.engine.ftlm_dynamic import ftlm_dynamic
+    from lanczosplusplus_tpu.solver.lanczos import random_start_block
+
+    apply_a = apply_a or apply_b
+    src_tb, src_tf, src_inner = _perm_layout(ham_src)
+    dst_tb, _, dst_inner = _perm_layout(ham_dst)
+    s_src = shard_for_mesh(src_inner, mesh)
+    s_dst = shard_for_mesh(dst_inner, mesh)
+    dim_s, dimp_s = src_inner.dim, s_src.dim
+    dim_d, dimp_d = dst_inner.dim, s_dst.dim
+
+    if start_vectors is not None:
+        V0 = np.asarray(start_vectors)             # flat order
+    else:
+        V0 = np.asarray(random_start_block(
+            ham_src.dim, num_vectors, seed, ham_src.dtype))
+    V0b = np.stack([src_tb(V0[:, r]) for r in range(V0.shape[1])],
+                   axis=1)
+    V0b = np.pad(V0b, ((0, dimp_s - dim_s), (0, 0)))
+
+    def wrap(apply):
+        def f(v):      # padded block src -> padded block dst
+            y = apply(src_tf(np.asarray(v)[:dim_s]))
+            return np.pad(dst_tb(y), (0, dimp_d - dim_d))
+        return f
+
+    res = ftlm_dynamic(s_src, s_dst, wrap(apply_b), steps=steps,
+                       apply_a=wrap(apply_a), start_vectors=V0b)
+    return dataclasses.replace(res, dim=ham_src.dim)
+
+
 def distributed_kpm_dos(ham, mesh: Mesh, num_moments: int = 256,
                         num_vectors: int = 16, seed: int = 314159,
                         bounds=None):

@@ -528,3 +528,141 @@ IsPeriodicX=1
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g.alphas[:g.m], r.alphas[:r.m],
                                    atol=1e-8)
+
+
+def test_distributed_ftlm_dynamic_matches_single():
+    """Row-sharded double-Krylov finite-T dynamics: same start block =>
+    identical pole data vs the single-device estimator, source AND
+    destination sectors sharded (VERDICT r3 item 8)."""
+    from lanczosplusplus_tpu.engine.ftlm_dynamic import ftlm_dynamic
+    from lanczosplusplus_tpu.engine.thermal import operator_matrix
+
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 4 4 4 4 4
+potentialV 8 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    src = model.create_basis((2, 2))
+    dst = model.create_basis((3, 2))
+    ham_s = model.hamiltonian(src, dtype=np.float64)
+    ham_d = model.hamiltonian(dst, dtype=np.float64)
+    bmat = operator_matrix(model, "cdagger", 0, 0, 0, src, dst).T
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(11)
+    V0 = rng.standard_normal((ham_s.dim, 6))
+    V0 /= np.linalg.norm(V0, axis=0)
+    dyn_d = pmesh.distributed_ftlm_dynamic(
+        ham_s, ham_d, lambda v: bmat @ v, mesh, steps=20,
+        start_vectors=V0)
+    dyn_s = ftlm_dynamic(ham_s, ham_d, lambda v: bmat @ v, steps=20,
+                         start_vectors=V0)
+    for beta in (0.5, 2.0):
+        om_d, wt_d = dyn_d.poles(beta)
+        om_s, wt_s = dyn_s.poles(beta)
+        for k in range(3):
+            assert (wt_d * om_d ** k).sum() == pytest.approx(
+                (wt_s * om_s ** k).sum(), rel=1e-8, abs=1e-10)
+
+
+def test_distributed_ftlm_dynamic_factored_form():
+    """The sharded double-Krylov estimator unwraps PermutedHamiltonian
+    sectors into block layout (flat-order apply callbacks unchanged)."""
+    from lanczosplusplus_tpu.engine.ftlm_dynamic import ftlm_dynamic
+    from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
+
+    n = 8
+    text = f"""
+TotalNumberOfSites={n}
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.0
+Model=Heisenberg
+HeisenbergTwiceS=1
+TargetSzPlusConst={n // 2}
+SolverOptions=factored
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(model.default_parts(inp))
+    fac = factored_hamiltonian_or_none(
+        model, basis, model.default_parts(inp), np.float64)
+    assert fac is not None and hasattr(fac, "perm")
+    flat = model.hamiltonian(basis, dtype=np.float64)
+    # sector-preserving "operator": a diagonal in flat order
+    diag = np.linspace(-1.0, 1.0, basis.size)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(3)
+    V0 = rng.standard_normal((basis.size, 4))
+    V0 /= np.linalg.norm(V0, axis=0)
+    dyn_d = pmesh.distributed_ftlm_dynamic(
+        fac, fac, lambda v: diag * v, mesh, steps=16,
+        start_vectors=V0)
+    dyn_s = ftlm_dynamic(flat, flat, lambda v: diag * v, steps=16,
+                         start_vectors=V0)
+    for beta in (0.5, 3.0):
+        om_d, wt_d = dyn_d.poles(beta)
+        om_s, wt_s = dyn_s.poles(beta)
+        for k in range(3):
+            assert (wt_d * om_d ** k).sum() == pytest.approx(
+                (wt_s * om_s ** k).sum(), rel=1e-7, abs=1e-9)
+
+
+def test_grand_canonical_ftlm_mesh_matches_single():
+    """GrandCanonicalFTLM(mesh=...) row-shards each large sector's FTLM
+    recurrence; same seed => same estimates as the single-device sweep
+    (VERDICT r3 item 8)."""
+    from lanczosplusplus_tpu.engine.thermal import GrandCanonicalFTLM
+
+    text = """
+TotalNumberOfSites=4
+NumberOfTerms=1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+Model=HubbardOneBand
+hubbardU 4 4 4 4 4
+potentialV 8 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=0
+"""
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    betas = [0.5, 2.0]
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    gf_d = GrandCanonicalFTLM(model, nsite=4, beta_grid=betas,
+                              dense_cutoff=8, num_vectors=8, steps=24,
+                              mesh=mesh)
+    gf_s = GrandCanonicalFTLM(model, nsite=4, beta_grid=betas,
+                              dense_cutoff=8, num_vectors=8, steps=24)
+    for beta in betas:
+        for mu in (0.0, 0.8):
+            assert gf_d.energy(beta, mu) == pytest.approx(
+                gf_s.energy(beta, mu), rel=1e-8)
+            assert gf_d.density(beta, mu) == pytest.approx(
+                gf_s.density(beta, mu), rel=1e-8)
+            assert gf_d.log_partition(beta, mu) == pytest.approx(
+                gf_s.log_partition(beta, mu), rel=1e-8)
+            assert gf_d.specific_heat(beta, mu) == pytest.approx(
+                gf_s.specific_heat(beta, mu), rel=1e-6, abs=1e-10)
