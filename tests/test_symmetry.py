@@ -284,3 +284,61 @@ def test_reflection_transform_roundtrip():
         assert resid < 1e-7, (s, resid)
         checked += 1
     assert checked == 2
+
+
+KITAEV = """
+TotalNumberOfSites={n}
+NumberOfTerms=3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 1.1
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.7
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.9
+Model=Kitaev
+SolverOptions=none
+IsPeriodicX=1
+"""
+
+
+def test_translation_kitaev_factored_rows():
+    """Kitaev k-blocks assemble from the FACTORED half-cut's restricted
+    representative rows (no 2^n x K flat ELL is ever built; VERDICT r3
+    item 9) and their union spectrum equals the full dense spectrum."""
+    inp = parse_input(KITAEV.format(n=8))
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis(None)
+    sym = TranslationSymmetry(basis, geom, model, fermionic=False)
+    union = block_spectrum_union(sym)
+    dense = np.linalg.eigvalsh(
+        np.asarray(model.hamiltonian(basis,
+                                     dtype=np.float64).to_dense()))
+    np.testing.assert_allclose(union, dense, atol=1e-9)
+
+
+def test_translation_kitaev_engine_matches_factored_solve():
+    """UseTranslationSymmetry=1 on Kitaev: the min-k block ground
+    energy equals the unsymmetrized SolverOptions=factored solve."""
+    from lanczosplusplus_tpu.solver import lanczos as lz
+    from lanczosplusplus_tpu.models.kitaev_factored import \
+        build_factored_kitaev
+
+    text = KITAEV.format(n=10).replace(
+        "SolverOptions=none",
+        "SolverOptions=none\nUseTranslationSymmetry=1")
+    inp = parse_input(text)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    eng = Engine(model, inp)
+    fac = build_factored_kitaev(model, model.create_basis(None),
+                                dtype=np.float64)
+    e_fac, _ = lz.lowest_states(fac, max_steps=200)
+    assert eng.ground_energy == pytest.approx(float(e_fac[0]),
+                                              abs=1e-9)
