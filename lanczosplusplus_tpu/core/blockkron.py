@@ -73,6 +73,53 @@ class PermCrossTerm:
     col_amp: jax.Array   # (nb, cols_dst)
     src: int = dataclasses.field(metadata=dict(static=True))
     dst: int = dataclasses.field(metadata=dict(static=True))
+    # channel groups sharing an identical row_src map: the (rows_dst,
+    # cols_src)-sized row gather — half the memory traffic of a
+    # channel — is done once per group instead of once per channel
+    # (builders compute this; None = one group per channel)
+    groups: Optional[tuple] = dataclasses.field(
+        metadata=dict(static=True), default=None)
+
+
+def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
+                    dtype, cross_dtype=None) -> "PermCrossTerm":
+    """PermCrossTerm from host channel tables: computes the shared-
+    row-map channel groups (one row gather per group in the apply) and
+    applies the optional below-compute-precision amplitude dtype
+    (bf16 halves the gather traffic; real inputs only)."""
+    row_src = np.asarray(row_src)
+    sig, groups = {}, []
+    for k in range(row_src.shape[0]):
+        key = row_src[k].tobytes()
+        if key in sig:
+            groups[sig[key]].append(k)
+        else:
+            sig[key] = len(groups)
+            groups.append([k])
+    cdt = cross_dtype if cross_dtype is not None else dtype
+    return PermCrossTerm(
+        row_src=jnp.asarray(row_src),
+        row_amp=jnp.asarray(np.asarray(row_amp), cdt),
+        col_src=jnp.asarray(np.asarray(col_src)),
+        col_amp=jnp.asarray(np.asarray(col_amp), cdt),
+        src=src, dst=dst, groups=tuple(tuple(g) for g in groups))
+
+
+def _cross_groups(t: "PermCrossTerm"):
+    return (t.groups if t.groups is not None
+            else tuple((n,) for n in range(t.row_src.shape[0])))
+
+
+def _cross_state(t: "PermCrossTerm", xsrc: jax.Array):
+    """Source block cast to the amplitude dtype: a bf16 amplitude table
+    (builder option) halves the gather traffic of this bandwidth-bound
+    path; products run on the VPU in bf16 and accumulate in the state
+    dtype (exact final energies come from the RQI refinement, whose
+    host-f64 residual uses the unquantized amplitudes)."""
+    if (t.row_amp.dtype == jnp.bfloat16
+            and jnp.issubdtype(xsrc.dtype, jnp.floating)):
+        return xsrc.astype(jnp.bfloat16)
+    return xsrc
 
 
 def _perm_cross_apply(t: "PermCrossTerm", xsrc: jax.Array) -> jax.Array:
@@ -84,14 +131,18 @@ def _perm_cross_apply(t: "PermCrossTerm", xsrc: jax.Array) -> jax.Array:
     or take_along_axis lowers to per-element gathers that run ~400x
     slower (measured in benchmarks/permcross_variants.py — a fully
     vectorized stacked-gather rewrite was 350x SLOWER than this loop at
-    the Rashba-13 bench shapes)."""
-    nb = t.row_src.shape[0]
+    the Rashba-13 bench shapes).  Channels sharing a row map (groups)
+    reuse one row gather; bf16 amplitude tables (builder option) halve
+    the gather bytes."""
+    dtype = xsrc.dtype
+    xg = _cross_state(t, xsrc)
     acc = None
-    for n in range(nb):
-        rows = xsrc[t.row_src[n]]              # (r_dst, c_src)
-        term = (t.row_amp[n][:, None] * rows[:, t.col_src[n]]
-                * t.col_amp[n][None, :])
-        acc = term if acc is None else acc + term
+    for group in _cross_groups(t):
+        rows = xg[t.row_src[group[0]]]         # (r_dst, c_src)
+        for n in group:
+            term = (t.row_amp[n][:, None] * rows[:, t.col_src[n]]
+                    * t.col_amp[n][None, :]).astype(dtype)
+            acc = term if acc is None else acc + term
     return acc
 
 
@@ -99,14 +150,16 @@ def _perm_cross_apply_batched(t: "PermCrossTerm",
                               xsrc: jax.Array) -> jax.Array:
     """Batched (k, rows_dst, cols_dst) version of `_perm_cross_apply`
     for the SpMM recurrence; xsrc is (k, rows_src, cols_src)."""
-    nb = t.row_src.shape[0]
+    dtype = xsrc.dtype
+    xg = _cross_state(t, xsrc)
     acc = None
-    for n in range(nb):
-        rows = xsrc[:, t.row_src[n]]           # (k, r_dst, c_src)
-        term = (t.row_amp[n][None, :, None]
-                * rows[:, :, t.col_src[n]]
-                * t.col_amp[n][None, None, :])
-        acc = term if acc is None else acc + term
+    for group in _cross_groups(t):
+        rows = xg[:, t.row_src[group[0]]]      # (k, r_dst, c_src)
+        for n in group:
+            term = (t.row_amp[n][None, :, None]
+                    * rows[:, :, t.col_src[n]]
+                    * t.col_amp[n][None, None, :]).astype(dtype)
+            acc = term if acc is None else acc + term
     return acc
 
 

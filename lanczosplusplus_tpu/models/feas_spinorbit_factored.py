@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
-                                                PermCrossTerm,
-                                                PermutedHamiltonian)
+                                                PermutedHamiltonian,
+                                                make_perm_cross)
 from lanczosplusplus_tpu.models.feas import (FeAsOneSpin,
                                              _one_spin_dosign,
                                              _dosign_gf)
@@ -157,12 +157,14 @@ def build_factored_feas_spinorbit(model, basis, dtype=np.complex128):
     perm_cross = []
 
     def add_perm(src_nu, dst_nu, row_src, row_amp, col_src, col_amp):
-        perm_cross.append(PermCrossTerm(
-            row_src=jnp.asarray(np.asarray(row_src, np.int32)),
-            row_amp=jnp.asarray(np.asarray(row_amp).astype(dtype)),
-            col_src=jnp.asarray(np.asarray(col_src, np.int32)),
-            col_amp=jnp.asarray(np.asarray(col_amp).astype(dtype)),
-            src=pos[src_nu], dst=pos[dst_nu]))
+        # shared-row-map channels reuse one row gather (make_perm_cross
+        # computes the groups; complex scalars keep full precision)
+        perm_cross.append(make_perm_cross(
+            np.asarray(row_src, np.int32),
+            np.asarray(row_amp).astype(dtype),
+            np.asarray(col_src, np.int32),
+            np.asarray(col_amp).astype(dtype),
+            pos[src_nu], pos[dst_nu], dtype))
 
     for nu in blocks:
         up, dn = ub[nu], db[nu]

@@ -47,8 +47,8 @@ import jax.numpy as jnp
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
-                                                PermCrossTerm,
-                                                PermutedHamiltonian)
+                                                PermutedHamiltonian,
+                                                make_perm_cross)
 from lanczosplusplus_tpu.models.hubbard import directed_bonds
 from lanczosplusplus_tpu.models.rashba import RashbaBasis
 
@@ -144,10 +144,17 @@ def _union_diag(basis: RashbaBasis, u, v):
 
 
 def build_halfcut_rashba(model, basis, dtype=np.float64,
-                         cut: int | None = None):
+                         cut: int | None = None, cross_dtype=None):
     """Half-cut factorized Hamiltonian for a total-N Rashba sector,
     wrapped (with the JW twist sign) to the flat RashbaBasis order.
-    `basis` is the full-lattice RashbaBasis."""
+    `basis` is the full-lattice RashbaBasis.
+
+    `cross_dtype` (e.g. jnp.bfloat16, real inputs only) stores the
+    cut-crossing amplitude tables below the compute precision: the
+    PermCrossTerm gathers — the bandwidth-bound half of this model's
+    matvec — then move half the bytes (core/blockkron._cross_state);
+    final energies stay exact through the RQI refinement's
+    unquantized host-f64 residual."""
     n = model.geometry.number_of_sites()
     ne = basis.ne
     nl = cut if cut is not None else n // 2
@@ -234,12 +241,12 @@ def build_halfcut_rashba(model, basis, dtype=np.float64,
             ri, ra = rf(dst_aL, src_aL)
             row_src[k], row_amp[k] = li, la
             col_src[k], col_amp[k] = ri, ra
-        perm_cross.append(PermCrossTerm(
-            row_src=jnp.asarray(row_src),
-            row_amp=jnp.asarray(row_amp.astype(dtype)),
-            col_src=jnp.asarray(col_src),
-            col_amp=jnp.asarray(col_amp.astype(dtype)),
-            src=pos[src_aL], dst=pos[dst_aL]))
+        # shared-row-map channel groups (e.g. the up-hop and Rashba-
+        # branch-B channels of the same crossing bond reuse one row
+        # gather) + optional bf16 amplitude tables: make_perm_cross
+        perm_cross.append(make_perm_cross(
+            row_src, row_amp, col_src, col_amp,
+            pos[src_aL], pos[dst_aL], dtype, cross_dtype))
 
     # left/right factor maps; i is a full-lattice site, j' = j - nl
     def l_up_lose(i, t_or_one):

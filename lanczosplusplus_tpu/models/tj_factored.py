@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
-                                                PermCrossTerm,
+                                                make_perm_cross,
                                                 PermutedHamiltonian,
                                                 tierize)
 from lanczosplusplus_tpu.models.tj import TjBasis
@@ -167,13 +167,14 @@ def _diag_within(tjb: TjBasis, jzz, w, vu, vd):
 
 
 def build_factored_tj(model, basis: TjBasis, dtype=np.float64,
-                      cut: int | None = None):
+                      cut: int | None = None, cross_dtype=None):
     """Block-factorized Hamiltonian for a t-J sector, wrapped to the
     flat (sorted-word) TjBasis order.  Returns None when the model is
     outside the factored path's scope (orbitals > 1 or the
     JHundInfinity rotation)."""
     out = build_factored_tj_blocks(model, basis.nup, basis.ndown,
-                                   dtype=dtype, cut=cut)
+                                   dtype=dtype, cut=cut,
+                                   cross_dtype=cross_dtype)
     if out is None:
         return None
     bk, blocks, lb, rb, nl = out
@@ -199,7 +200,8 @@ def build_factored_tj(model, basis: TjBasis, dtype=np.float64,
 
 
 def build_factored_tj_blocks(model, nup: int, ndn: int,
-                             dtype=np.float64, cut: int | None = None):
+                             dtype=np.float64, cut: int | None = None,
+                             cross_dtype=None):
     """Block-ordered form WITHOUT the flat-order wrap: usable for
     sectors where the full TjBasis cannot even be enumerated (its
     construction holds an O(C(n,nup) * C(n,ndn)) mask; 20 sites
@@ -296,12 +298,10 @@ def build_factored_tj_blocks(model, nup: int, ndn: int,
             cs, ca = right_fn(rdst, rsrc, b - nlb)
             row_src[k], row_amp[k] = rs, ra
             col_src[k], col_amp[k] = cs, ca
-        perm_cross.append(PermCrossTerm(
-            row_src=jnp.asarray(row_src),
-            row_amp=jnp.asarray(row_amp.astype(dtype)),
-            col_src=jnp.asarray(col_src),
-            col_amp=jnp.asarray(col_amp.astype(dtype)),
-            src=pos[src_b], dst=pos[dst_b]))
+        perm_cross.append(make_perm_cross(
+            row_src, row_amp.astype(dtype), col_src,
+            col_amp.astype(dtype), pos[src_b], pos[dst_b], dtype,
+            cross_dtype))
 
     # hop across the cut, up spin, direction L -> R (electron leaves a)
     def up_lose_left(ldst, lsrc, a, t):

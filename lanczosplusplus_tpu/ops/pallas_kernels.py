@@ -68,6 +68,8 @@ def factor_matmul(x, a, tile_m: int = 512, tile_n: int = 512,
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
         scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        # CPU (tests) has no Mosaic: run the kernel in interpret mode
+        interpret=(jax.default_backend() == "cpu"),
     )(xpad, apad)
     return out[:m, :n]
 
