@@ -39,6 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -99,9 +101,9 @@ def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
     cdt = cross_dtype if cross_dtype is not None else dtype
     return PermCrossTerm(
         row_src=jnp.asarray(row_src),
-        row_amp=jnp.asarray(np.asarray(row_amp), cdt),
+        row_amp=_to_device(np.asarray(row_amp), cdt),
         col_src=jnp.asarray(np.asarray(col_src)),
-        col_amp=jnp.asarray(np.asarray(col_amp), cdt),
+        col_amp=_to_device(np.asarray(col_amp), cdt),
         src=src, dst=dst, groups=tuple(tuple(g) for g in groups))
 
 

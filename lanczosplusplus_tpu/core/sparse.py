@@ -365,17 +365,19 @@ class Hamiltonian:
         szd, szu = self.spin_shape
 
         def densify(cols, vals, size):
+            from lanczosplusplus_tpu.utils.transfer import (to_device,
+                                                            to_host)
             if cols is None:
                 return None
             itemsize = np.dtype(vals.dtype).itemsize
             if size * size * itemsize > max_bytes:
                 return None
             c = np.asarray(cols)
-            v = np.asarray(vals)
+            v = to_host(vals)
             a = np.zeros((size, size), dtype=v.dtype)
             r = np.repeat(np.arange(size), c.shape[1])
             np.add.at(a, (r, c.reshape(-1)), v.reshape(-1))
-            return jnp.asarray(a, dtype=factor_dtype or v.dtype)
+            return to_device(a, factor_dtype or v.dtype)
 
         up_d = densify(f.up_cols, f.up_vals, szu)
         dn_d = densify(f.dn_cols, f.dn_vals, szd)
@@ -449,13 +451,14 @@ class Hamiltonian:
     def to_dense(self) -> np.ndarray:
         """Dense matrix for oracle tests (reference dumpmatrix path,
         src/Engine/DefaultSymmetry.h:61-94)."""
+        from lanczosplusplus_tpu.utils.transfer import to_host
         dim = self.dim
-        m = np.zeros((dim, dim), dtype=np.asarray(self.diag).dtype
-                     if self.ell is None else np.asarray(self.ell.vals).dtype)
-        m[np.arange(dim), np.arange(dim)] += np.asarray(self.diag)
+        m = np.zeros((dim, dim), dtype=to_host(self.diag).dtype
+                     if self.ell is None else to_host(self.ell.vals).dtype)
+        m[np.arange(dim), np.arange(dim)] += to_host(self.diag)
         if self.ell is not None:
             cols = np.asarray(self.ell.cols)
-            vals = np.asarray(self.ell.vals)
+            vals = to_host(self.ell.vals)
             r = np.repeat(np.arange(dim), cols.shape[1])
             np.add.at(m, (r, cols.reshape(-1)), vals.reshape(-1))
         if self.factorized is not None:

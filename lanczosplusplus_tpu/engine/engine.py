@@ -10,6 +10,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import (to_device as _to_device,
+                                                to_host as _to_host,
+                                                zeros as _zeros)
+
 from lanczosplusplus_tpu.config import Config
 from lanczosplusplus_tpu.solver import lanczos as lz
 from lanczosplusplus_tpu.engine import operators as ops
@@ -23,16 +27,16 @@ def apply_operator_map(tgt, amp, dst_dim, vec, factor=1.0):
     scatter (reference: Engine.h:416-458).  Small sectors scatter on
     host; large ones as a device scatter-add (sector-to-sector operator
     application is itself a sparse-matrix apply)."""
-    src = np.asarray(vec)
+    src = _to_host(vec)
     out_dtype = np.result_type(src.dtype, np.asarray(factor).dtype,
                                np.float64)
     mask = tgt >= 0
     if dst_dim >= (1 << 20):
         safe_tgt = jnp.asarray(np.where(mask, tgt, 0))
-        contrib = jnp.asarray(
+        contrib = _to_device(
             np.where(mask, factor * amp * src, 0).astype(out_dtype))
-        out = jnp.zeros(dst_dim, dtype=out_dtype).at[safe_tgt].add(contrib)
-        return np.asarray(out)
+        out = _zeros(dst_dim, out_dtype).at[safe_tgt].add(contrib)
+        return _to_host(out)
     out = np.zeros(dst_dim, dtype=out_dtype)
     np.add.at(out, tgt[mask], factor * amp[mask] * src[mask])
     return out
@@ -133,7 +137,7 @@ class Engine:
             max_steps=self.config.lanczos_steps, return_info=True)
         self._log_solve(info)
         self._energies = evals
-        self._vectors = [np.asarray(v) for v in vecs]
+        self._vectors = [_to_host(v) for v in vecs]
 
     def _factored_hamiltonian(self, parts, basis, warn=None):
         """Flat-ordered block-factorized Hamiltonian or None: Sz-blocked
@@ -169,7 +173,7 @@ class Engine:
                 best = (evals, vecs, s)
         evals, vecs, sector = best
         self._energies = evals
-        self._vectors = [sym.transform(np.asarray(v), sector)
+        self._vectors = [sym.transform(_to_host(v), sector)
                          for v in vecs]
 
     def energies(self, i: int = 0) -> float:
@@ -266,7 +270,7 @@ class Engine:
         (reference: Engine.h:133-206 spectralFunction)."""
         op1 = LabeledOperator(op_name)
         op2 = op1.transpose_conjugate()
-        gs = np.asarray(self.eigenvector(0))
+        gs = _to_host(self.eigenvector(0))
         is_diagonal = (isite == jsite and orbs[0] == orbs[1])
         coll = ContinuedFractionCollection()
         labels = []
@@ -321,7 +325,7 @@ class Engine:
 
         op1 = LabeledOperator(op_name)
         op2 = op1.transpose_conjugate()
-        gs = np.asarray(self.eigenvector(0))
+        gs = _to_host(self.eigenvector(0))
         steps = self.inp.integer("SpectralSteps",
                                  default=self.config.lanczos_steps)
         x64 = jax.config.read("jax_enable_x64")
@@ -383,7 +387,7 @@ class Engine:
                     if zj is not None:
                         row = isign * zj if row is None else \
                             row + isign * zj
-                rows.append(jnp.zeros(basis_new.size, fleet_dtype)
+                rows.append(_zeros(basis_new.size, fleet_dtype)
                             if row is None else row)
             M = jnp.stack(rows)
             weights = np.asarray(
@@ -448,7 +452,7 @@ class Engine:
             return ContinuedFraction(
                 alphas=np.zeros(0), betas=np.zeros(0),
                 e0=self.ground_energy, weight=0.0, sigma=s)
-        v0 = jnp.asarray(modif / np.sqrt(weight))
+        v0 = _to_device(modif / np.sqrt(weight))
         # the reference reads a separate "Spectral" solver section
         # (Engine.h:472 ParametersForSolver(io, "Spectral"))
         steps = self.inp.integer("SpectralSteps",
@@ -478,7 +482,7 @@ class Engine:
 
         op1 = LabeledOperator(op_name)
         op2 = op1.transpose_conjugate()
-        gs = np.asarray(self.eigenvector(0))
+        gs = _to_host(self.eigenvector(0))
         omegas = np.asarray(omegas, dtype=np.float64)
         total = np.zeros_like(omegas)
         for type_ in range(2):
@@ -556,7 +560,7 @@ class Engine:
             def apply(v, _op=op, _basis=basis_new):
                 z = np.zeros(_basis.size,
                              dtype=np.result_type(v.dtype, np.float64))
-                self.acc_modified_state(z, _op, _basis, np.asarray(v),
+                self.acc_modified_state(z, _op, _basis, _to_host(v),
                                         self.basis, isite, spin, orb, 1.0)
                 return z
 
@@ -627,7 +631,7 @@ class Engine:
                     z = np.zeros(self.basis.size,
                                  dtype=np.result_type(v.dtype,
                                                       np.float64))
-                    src = np.asarray(v)
+                    src = _to_host(v)
                     for site in range(nsite):
                         if abs(_w[site]) < 1e-14:
                             continue
@@ -708,7 +712,7 @@ class Engine:
                     jnp.asarray(np.concatenate(rows_l)),
                     jnp.asarray(np.concatenate(tgt_l)),
                     jnp.asarray(np.concatenate(src_l)),
-                    jnp.asarray(np.concatenate(amp_l)))
+                    _to_device(np.concatenate(amp_l)))
         self._scatter_plan_cache[key] = plan
         return plan
 
@@ -730,9 +734,9 @@ class Engine:
         if plan is None:
             return [], None
         valid, rows, tgts, src_idx, amps = plan
-        v_dev = jnp.asarray(np.asarray(vec).astype(dtype))
+        v_dev = _to_device(_to_host(vec).astype(dtype))
         contribs = amps * v_dev[src_idx]
-        Z = jnp.zeros((len(valid), dst_basis.size), dtype)
+        Z = _zeros((len(valid), dst_basis.size), dtype)
         Z = Z.at[rows, tgts].add(contribs)
         return valid, Z
 
@@ -756,8 +760,8 @@ class Engine:
             basis_new = self._cached_basis(new_parts)
         else:
             basis_new = self.basis
-        bra = np.asarray(self.eigenvector(bra_ket[0]))
-        ket = np.asarray(self.eigenvector(bra_ket[1]))
+        bra = _to_host(self.eigenvector(bra_ket[0]))
+        ket = _to_host(self.eigenvector(bra_ket[1]))
         valid_i, Z_ket = self._batched_modified_states(
             op, basis_new, ket, spin[0], orbs[0])
         if (bra_ket[0] == bra_ket[1] and spin[0] == spin[1]
@@ -770,7 +774,14 @@ class Engine:
         if Z_ket is None or Z_bra is None:
             return result
         # result[i, j] = <z_bra_j | z_ket_i>
-        block = np.asarray(Z_ket @ jnp.conj(Z_bra).T)
+        import jax
+        # pin HIGHEST matmul precision: the TPU default lowers f32
+        # matmuls to bf16 passes (~3e-4 absolute error on these O(1)
+        # overlaps); the pair matrix is tiny, 3-pass cost is nothing
+        block = _to_host(jax.lax.dot_general(
+            Z_ket, jnp.conj(Z_bra),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST))
         for a, isite in enumerate(valid_i):
             for b, jsite in enumerate(valid_j):
                 result[isite, jsite] = block[a, b]
@@ -779,7 +790,7 @@ class Engine:
     # -- many-point fixed-site correlator (reference: Engine.h:341-389) ---
 
     def many_point(self, sites, op_names, spins, orbs, bra_ket=(0, 0)):
-        tmp = np.asarray(self.eigenvector(bra_ket[1]))
+        tmp = _to_host(self.eigenvector(bra_ket[1]))
         basis_old = self.basis
         old_parts = self.parts
         for k, site in enumerate(sites):
@@ -798,7 +809,7 @@ class Engine:
             old_parts = new_parts
         if old_parts != self.parts:
             return 0.0
-        bra = np.asarray(self.eigenvector(bra_ket[0]))
+        bra = _to_host(self.eigenvector(bra_ket[0]))
         return complex(np.vdot(bra, tmp))
 
     # -- measure mini-language (reference: Engine.h:208-249) --------------
@@ -819,9 +830,9 @@ class Engine:
             op, site = rahul.parse_op_token(t)
             ops.append(op)
             sites.append(site)
-        ket = np.asarray(self.eigenvector(ket_idx))
+        ket = _to_host(self.eigenvector(ket_idx))
         psi_new = rahul.rahul_apply(self.basis, ops, sites, ket)
-        bra = np.asarray(self.eigenvector(bra_idx))
+        bra = _to_host(self.eigenvector(bra_idx))
         return complex(np.vdot(bra, psi_new))
 
     @property

@@ -31,6 +31,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
@@ -146,13 +148,13 @@ def build_factored_feas_spinorbit(model, basis, dtype=np.complex128):
         quad_d = np.einsum("sa,ab,sb->s", nd_t, w_dd, nd_t)
         d2 = quad_u[:, None] + quad_d[None, :] + nu_t @ w_ud @ nd_t.T
         d2 = d2 + (nu_t @ lin_u)[:, None] + (nd_t @ lin_d)[None, :]
-        diags.append(jnp.asarray(d2.astype(dtype)))
+        diags.append(_to_device(d2.astype(dtype)))
         for side, one in (("u", up), ("d", dn)):
             key = one.npart
             if key not in hop_cache:
                 hop_cache[key] = hop_dense(one)
-        row_ops.append(jnp.asarray(hop_cache[up.npart].astype(dtype)))
-        col_ops.append(jnp.asarray(hop_cache[dn.npart].astype(dtype)))
+        row_ops.append(_to_device(hop_cache[up.npart].astype(dtype)))
+        col_ops.append(_to_device(hop_cache[dn.npart].astype(dtype)))
 
     perm_cross = []
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core.sparse import EllPart, Hamiltonian
 from lanczosplusplus_tpu.core.bits import WORD
 
@@ -192,8 +194,8 @@ class HeisenbergModel:
             cols[:, kk] = tgt
             vals[:, kk] = np.where(ok, amp, 0).astype(dtype)
         ell = EllPart(cols=jnp.asarray(cols.astype(np.int32)),
-                      vals=jnp.asarray(vals))
-        return Hamiltonian(diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
+                      vals=_to_device(vals))
+        return Hamiltonian(diag=_to_device(self.diagonal(basis).astype(dtype)),
                            ell=ell, factorized=None, spin_shape=None)
 
     # -- operator maps ----------------------------------------------------

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.basis import HubbardBasis
 from lanczosplusplus_tpu.core.sparse import (
@@ -316,10 +318,10 @@ class HubbardModel:
             j_ell = self._j_offdiagonal_coo(basis, dtype)
             if j_ell is not None:
                 ell = EllPart(cols=jnp.asarray(j_ell[0]),
-                              vals=jnp.asarray(j_ell[1]))
+                              vals=_to_device(j_ell[1]))
         fact = SpinFactorizedPart(
-            up_cols=jnp.asarray(up_cols), up_vals=jnp.asarray(up_vals),
-            dn_cols=jnp.asarray(dn_cols), dn_vals=jnp.asarray(dn_vals))
+            up_cols=jnp.asarray(up_cols), up_vals=_to_device(up_vals),
+            dn_cols=jnp.asarray(dn_cols), dn_vals=_to_device(dn_vals))
         return Hamiltonian(
-            diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
+            diag=_to_device(self.diagonal(basis).astype(dtype)),
             ell=ell, factorized=fact, spin_shape=basis.spin_shape)

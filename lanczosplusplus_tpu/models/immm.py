@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.combinatorics import enumerate_combinations
@@ -213,11 +215,11 @@ class ImmmModel:
         from lanczosplusplus_tpu.core.sparse import SpinFactorizedPart
         factorized = SpinFactorizedPart(
             up_cols=jnp.asarray(up_cols.astype(np.int32)),
-            up_vals=jnp.asarray(up_vals),
+            up_vals=_to_device(up_vals),
             dn_cols=jnp.asarray(dn_cols.astype(np.int32)),
-            dn_vals=jnp.asarray(dn_vals))
+            dn_vals=_to_device(dn_vals))
         return Hamiltonian(
-            diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
+            diag=_to_device(self.diagonal(basis).astype(dtype)),
             ell=None, factorized=factorized, spin_shape=(szd, szu))
 
     def operator_map(self, op, site, spin, orb, src_basis: ImmmBasis,

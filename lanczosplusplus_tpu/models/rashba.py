@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.basis import OneSpinBasis
 from lanczosplusplus_tpu.core.combinatorics import binomial_table
@@ -220,8 +222,8 @@ class RashbaSOCModel:
             vals[rows] = vals_blk.reshape(bdim, k)
 
         ell = EllPart(cols=jnp.asarray(cols.astype(np.int32)),
-                      vals=jnp.asarray(vals))
-        return Hamiltonian(diag=jnp.asarray(diag.astype(dtype)),
+                      vals=_to_device(vals))
+        return Hamiltonian(diag=_to_device(diag.astype(dtype)),
                            ell=ell, factorized=None, spin_shape=None)
 
     def block_kron_hamiltonian(self, basis: RashbaBasis,

@@ -44,6 +44,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.blockkron import (BlockKronHamiltonian,
@@ -193,7 +195,7 @@ def build_halfcut_rashba(model, basis, dtype=np.float64,
         shapes.append((left.size, right.size))
         dl = _union_diag(left, u[:nl], v[:nl])
         dr = _union_diag(right, u[nl:], v[nl:])
-        diags.append(jnp.asarray(
+        diags.append(_to_device(
             (dl[:, None] + dr[None, :]).astype(dtype)))
         lhop, lrash = _union_offdiag_dense(
             left, hops[:nl, :nl], rash[:nl, :nl], cplx)
@@ -201,9 +203,9 @@ def build_halfcut_rashba(model, basis, dtype=np.float64,
         # over from the twist (module docstring)
         rhop, rrash = _union_offdiag_dense(
             right, hops[nl:, nl:], rash[nl:, nl:], cplx)
-        row_ops.append(jnp.asarray((lhop + lrash).astype(dtype)))
+        row_ops.append(_to_device((lhop + lrash).astype(dtype)))
         scal = 1.0 if aL % 2 == 0 else -1.0
-        col_ops.append(jnp.asarray((rhop + scal * rrash).astype(dtype)))
+        col_ops.append(_to_device((rhop + scal * rrash).astype(dtype)))
         ltab[aL] = _union_tables(left)
         rtab[aL] = _union_tables(right)
 
@@ -383,6 +385,6 @@ def build_halfcut_rashba(model, basis, dtype=np.float64,
     return PermutedHamiltonian(
         inner=bk, perm=jnp.asarray(perm.astype(np.int32)),
         inv=jnp.asarray(inv.astype(np.int32)),
-        sign=None if trivial else jnp.asarray(sign.astype(
+        sign=None if trivial else _to_device(sign.astype(
             np.complex64 if jnp.dtype(dtype) == jnp.complex64 else
             np.complex128 if cplx else dtype)))

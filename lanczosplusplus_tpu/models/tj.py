@@ -33,6 +33,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.combinatorics import enumerate_combinations
@@ -298,9 +300,9 @@ class TjMultiOrbModel:
             vals[:, slot] = np.where(ok, proij * h * s, 0)
             slot += 1
         ell = EllPart(cols=jnp.asarray(cols.astype(np.int32)),
-                      vals=jnp.asarray(vals))
+                      vals=_to_device(vals))
         ham = Hamiltonian(
-            diag=jnp.asarray(self.diagonal(basis).astype(dtype)),
+            diag=_to_device(self.diagonal(basis).astype(dtype)),
             ell=ell, factorized=None, spin_shape=None)
         if self.reinterpret:
             ham = self._reinterpret_and_truncate(ham, basis, dtype)

@@ -25,6 +25,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import \
+    to_device as _to_device_xfer
+
 
 def two_sum(a, b):
     """Error-free a + b = s + e (Knuth; no ordering assumption)."""
@@ -138,7 +141,8 @@ def refined_energy(ham, v) -> float:
     this recovers the energy to ~1e-12 relative (quadratic eigenvector
     error), matching the f64 reference bar without an f64 solve.
     Returns a Python float (f64 recombination on host)."""
-    if jnp.issubdtype(jnp.asarray(v).dtype, jnp.complexfloating):
+    if jnp.issubdtype(jnp.dtype(getattr(v, "dtype", np.float64)),
+                      jnp.complexfloating):
         raise NotImplementedError("df64 refinement: real states only")
     num_h, num_l, den_h, den_l = _rayleigh_df64(ham, jnp.asarray(v))
     num = float(np.float64(np.asarray(num_h))
@@ -158,7 +162,8 @@ def refined_energy(ham, v) -> float:
 # double).
 
 def _np64(a, ctype):
-    return np.asarray(a).astype(ctype)
+    from lanczosplusplus_tpu.utils.transfer import to_host
+    return to_host(a).astype(ctype)
 
 
 def _host_matvec_blockkron(ham, xs, ctype):
@@ -197,7 +202,8 @@ def host_matvec_f64(ham, v) -> np.ndarray:
     """H @ v on the HOST in float64/complex128 for any Hamiltonian form
     (flat diag/ELL/Kronecker gather, BlockKronHamiltonian,
     PermutedHamiltonian)."""
-    cplx = (np.iscomplexobj(np.asarray(v)) or
+    cplx = (jnp.issubdtype(jnp.dtype(getattr(v, "dtype", np.float64)),
+                           jnp.complexfloating) or
             jnp.issubdtype(jnp.dtype(ham.dtype), jnp.complexfloating))
     ctype = np.complex128 if cplx else np.float64
     x = _np64(v, ctype)
@@ -301,7 +307,7 @@ def host_refined_energy(ham, v) -> float:
     real flat forms)."""
     y = host_matvec_f64(ham, v)
     cplx = np.iscomplexobj(y)
-    x = np.asarray(v).astype(np.complex128 if cplx else np.float64)
+    x = _np64(v, np.complex128 if cplx else np.float64)
     return float(np.real(np.vdot(x, y)) / np.real(np.vdot(x, x)))
 
 
@@ -352,11 +358,12 @@ def rqi_refined_energy(ham, v, iters: int = 2, restart: int = 20,
     is an MXU GEMM (block-Kronecker / permuted factored forms, complex
     scalars) where no on-chip error-free-transformation route exists.
     Costs iters+1 host f64 matvecs + iters cheap device GMRES solves."""
-    cplx = (np.iscomplexobj(np.asarray(v)) or
+    cplx = (jnp.issubdtype(jnp.dtype(getattr(v, "dtype", np.float64)),
+                           jnp.complexfloating) or
             jnp.issubdtype(jnp.dtype(ham.dtype), jnp.complexfloating))
     ctype = np.complex128 if cplx else np.float64
     dt = jnp.dtype(ham.dtype)
-    x = np.asarray(v).astype(ctype)
+    x = _np64(v, ctype)
     x = x / np.linalg.norm(x)
     theta = None
     for _ in range(iters):
@@ -366,9 +373,11 @@ def rqi_refined_energy(ham, v, iters: int = 2, restart: int = 20,
         r = r - np.vdot(x, r) * x
         if np.linalg.norm(r) <= 1e-13 * max(1.0, abs(theta)):
             return theta
-        t = np.asarray(_gmres_correct(
-            ham, jnp.asarray(r.astype(dt)),
-            jnp.asarray(theta, dtype=dt), restart=restart,
+        from lanczosplusplus_tpu.utils.transfer import to_host as _th
+        t = _th(_gmres_correct(
+            ham, _to_device_xfer(r.astype(dt)),
+            _to_device_xfer(np.asarray(theta).astype(dt)),
+            restart=restart,
             maxiter=maxiter)).astype(ctype)
         t = t - np.vdot(x, t) * x
         x = x - t
@@ -415,7 +424,8 @@ def chip_rqi_refined_energy(ham, v, iters: int = 2, restart: int = 20,
     factor) matvec.  No host matvec at any dimension — this lifts the
     flop-budget cap that limited the large flat-form refinement to a
     single quotient."""
-    if jnp.issubdtype(jnp.asarray(v).dtype, jnp.complexfloating):
+    if jnp.issubdtype(jnp.dtype(getattr(v, "dtype", np.float64)),
+                      jnp.complexfloating):
         raise NotImplementedError("df64 refinement: real states only")
     x = jnp.asarray(v, jnp.float32)
     x = x / jnp.linalg.norm(x)

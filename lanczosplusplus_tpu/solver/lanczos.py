@@ -24,6 +24,11 @@ import scipy.linalg
 import jax
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import (to_device as _to_device,
+                                                to_host as _to_host,
+                                                zeros as _zeros,
+                                                zeros_like as _zeros_like)
+
 
 def _reorth_pass(V, w):
     """One classical Gram-Schmidt pass of w against the rows of V.
@@ -170,7 +175,7 @@ def _selective_init_state(v0, steps: int):
     rdt = jnp.float64 if v0.dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
     z = jnp.zeros((steps,), rdt)
-    return (v0, jnp.zeros_like(v0), jnp.asarray(0.0, rdt),
+    return (v0, _zeros_like(v0), jnp.asarray(0.0, rdt),
             z, z, z, z, jnp.asarray(False))
 
 
@@ -187,7 +192,7 @@ def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
     dim = v0.shape[0]
     dtype = v0.dtype
     selective = reorth == "selective"
-    V = jnp.zeros((steps, dim), dtype=reorth_dtype or dtype)
+    V = _zeros((steps, dim), reorth_dtype or dtype)
     state = _selective_init_state(v0, steps)
     v = v0
     alphas = []
@@ -200,12 +205,12 @@ def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
         if (int(data["steps"]) == steps and int(data["dim"]) == dim and
                 saved_mode == reorth):
             start = int(data["next_step"])
-            V = jnp.asarray(data["V"])
-            v = jnp.asarray(data["v"])
+            V = _to_device(data["V"])
+            v = _to_device(data["v"])
             alphas = list(data["alphas"])
             betas = list(data["betas"])
             if selective:
-                state = (v, jnp.asarray(data["s_vprev"]),
+                state = (v, _to_device(data["s_vprev"]),
                          jnp.asarray(data["s_betaprev"]),
                          jnp.asarray(data["s_omega"]),
                          jnp.asarray(data["s_omegaprev"]),
@@ -229,7 +234,7 @@ def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
         if checkpoint is not None:
             extra = {}
             if selective:
-                extra = dict(s_vprev=np.asarray(state[1]),
+                extra = dict(s_vprev=_to_host(state[1]),
                              s_betaprev=np.asarray(state[2]),
                              s_omega=np.asarray(state[3]),
                              s_omegaprev=np.asarray(state[4]),
@@ -237,7 +242,7 @@ def _lanczos_scan(ham, v0, steps: int, checkpoint=None, chunk=None,
                              s_bhist=np.asarray(state[6]),
                              s_force=np.asarray(state[7]))
             np.savez(checkpoint,
-                     V=np.asarray(V), v=np.asarray(v),
+                     V=_to_host(V), v=_to_host(v),
                      alphas=np.asarray(alphas), betas=np.asarray(betas),
                      next_step=j, steps=steps, dim=dim, mode=reorth,
                      **extra)
@@ -301,7 +306,7 @@ def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
     dtype = ham.dtype
     steps = int(min(dim, max_steps))
     v0 = random_start_vector(dim, seed, dtype)
-    zero = jnp.zeros_like(v0)
+    zero = _zeros_like(v0)
     v, vp, beta, alphas, betas = _lanczos_chunk_plain(
         ham, v0, zero, jnp.asarray(0.0, jnp.float64
                                    if dtype in (jnp.float64,
@@ -320,7 +325,7 @@ def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
             jnp.asarray(0.0, jnp.float64
                         if dtype in (jnp.float64, jnp.complex128)
                         else jnp.float32),
-            jnp.asarray(wts), jnp.zeros_like(v0), jnp.arange(steps))
+            jnp.asarray(wts), _zeros_like(v0), jnp.arange(steps))
         acc = acc / jnp.linalg.norm(acc)
         vecs.append(acc)
     return evals[:k], vecs
@@ -334,7 +339,7 @@ def tridiagonalize_plain(ham, v0, steps: int):
     rdt = jnp.float64 if v0.dtype in (jnp.float64, jnp.complex128) \
         else jnp.float32
     v, vp, beta, alphas, betas = _lanczos_chunk_plain(
-        ham, v0, jnp.zeros_like(v0), jnp.asarray(0.0, rdt),
+        ham, v0, _zeros_like(v0), jnp.asarray(0.0, rdt),
         jnp.arange(steps))
     alphas, betas, m = trim_at_breakdown(alphas, betas)
     return LanczosResult(alphas=alphas[:m], betas=betas[:m], V=None, m=m)
@@ -365,7 +370,7 @@ def _plain_batched_recurrence(ham, V0, steps):
                            jnp.zeros_like(W))
         return (V_next, V, beta), (alpha, beta)
 
-    init = (V0, jnp.zeros_like(V0), jnp.zeros((V0.shape[0],), rdt))
+    init = (V0, _zeros_like(V0), jnp.zeros((V0.shape[0],), rdt))
     _, (alphas, betas) = jax.lax.scan(body, init, None, length=steps)
     return alphas, betas
 
@@ -461,10 +466,10 @@ def tridiag_eigh(alphas: np.ndarray, betas: np.ndarray):
 
 def ritz_vectors(res: LanczosResult, weights: np.ndarray) -> jax.Array:
     """Columns of weights (m, k) combined over the Krylov basis."""
-    w = jnp.asarray(
+    w = _to_device(
         np.vstack([weights, np.zeros((res.V.shape[0] - res.m,
                                       weights.shape[1]))]),
-        dtype=res.V.dtype)
+        res.V.dtype)
     return (res.V.T @ w).T  # (k, dim)
 
 
@@ -478,9 +483,11 @@ def random_start_block(dim: int, num: int, seed: int, dtype) -> jax.Array:
         real_dt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
             else jnp.float32
         k1, k2 = jax.random.split(key)
-        v = (jax.random.normal(k1, (dim, num), real_dt) +
-             1j * jax.random.normal(k2, (dim, num), real_dt)
-             ).astype(dtype)
+        # lax.complex, not `+ 1j *`: a Python complex constant would
+        # transfer as a complex buffer (unimplemented on the axon relay)
+        v = jax.lax.complex(
+            jax.random.normal(k1, (dim, num), real_dt),
+            jax.random.normal(k2, (dim, num), real_dt)).astype(dtype)
     else:
         v = jax.random.normal(key, (dim, num), dtype)
     return v / jnp.linalg.norm(v, axis=0, keepdims=True)
@@ -511,7 +518,9 @@ def _dense_solve(ham, num_states: int):
     dense = ham.to_dense()
     evals, evecs = np.linalg.eigh(dense)
     k = min(num_states, dense.shape[0])
-    return evals[:k], jnp.asarray(evecs[:, :k].T.copy())
+    # host vectors: tiny, and complex h2d is unimplemented on the axon
+    # relay (utils/transfer.py) — callers convert if they need device
+    return evals[:k], evecs[:, :k].T.copy()
 
 
 def _maybe_refine(ham, evals, vecs):
@@ -535,15 +544,15 @@ def _maybe_refine(ham, evals, vecs):
             # all on chip: df64 residuals + f32 GMRES corrections, no
             # flop cap at any dimension
             return np.array([df64.chip_rqi_refined_energy(
-                ham, np.asarray(v)) for v in vecs])
+                ham, _to_host(v)) for v in vecs])
         flops = df64.refinement_flops(ham)
         if flops * 4 * len(vecs) <= 1.5e12:
             # full RQI: ~4 host f64 matvecs per state
-            return np.array([df64.rqi_refined_energy(ham, np.asarray(v))
+            return np.array([df64.rqi_refined_energy(ham, _to_host(v))
                              for v in vecs])
         if flops * len(vecs) <= 4e11:
             # single host-f64 Rayleigh quotient (quadratic error only)
-            return np.array([df64.host_refined_energy(ham, np.asarray(v))
+            return np.array([df64.host_refined_energy(ham, _to_host(v))
                              for v in vecs])
     except NotImplementedError:
         pass

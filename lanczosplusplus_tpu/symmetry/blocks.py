@@ -28,6 +28,8 @@ import numpy as np
 import scipy.sparse as sp
 import jax.numpy as jnp
 
+from lanczosplusplus_tpu.utils.transfer import to_device as _to_device
+
 from lanczosplusplus_tpu.core import bits
 from lanczosplusplus_tpu.core.bits import WORD
 from lanczosplusplus_tpu.core.sparse import EllPart, Hamiltonian, coo_to_ell
@@ -56,9 +58,9 @@ def _csr_to_ell_ham(m: sp.csr_matrix, dtype) -> Hamiltonian:
     off = ~diag_mask
     cols, vals = coo_to_ell(dim, m.row[off], m.col[off],
                             m.data[off].astype(dtype))
-    return Hamiltonian(diag=jnp.asarray(diag),
+    return Hamiltonian(diag=_to_device(diag),
                        ell=EllPart(cols=jnp.asarray(cols),
-                                   vals=jnp.asarray(vals)),
+                                   vals=_to_device(vals)),
                        factorized=None, spin_shape=None)
 
 
@@ -272,11 +274,20 @@ class _OrbitBlockSymmetry:
             _restricted_rows(ham, reps)
         self._dtype = dtype
         self._sector_cache = {}
+        # sector row selection via the stabilizer twisted character:
+        # for g in stab(b), sigma_g(b) restricted to the stabilizer is
+        # itself a +-1 character, so w[x] has CONSTANT magnitude
+        # |sum_{g in stab} chars[s,g] sigma_g(b)| on the whole orbit —
+        # one (G, nreps) stabilizer table serves every sector at
+        # O(S * nreps) instead of the O(S * G * dim) per-sector w-table
+        # scan (the build-time hotspot at flagship dims)
+        stab_phase = np.where(g_tgt[:, reps] == reps[None, :],
+                              g_sign[:, reps], 0.0)     # (G, nreps)
         total = 0
         self._sector_rows = []
         for s in range(self._chars.shape[0]):
-            w, norm2 = self._w_table(s)
-            rows = np.nonzero(norm2 > 1e-8)[0]
+            coef = self._chars[s][:, None] * stab_phase
+            rows = np.nonzero(np.abs(coef.sum(axis=0)) > 1e-8)[0]
             self._sector_rows.append(rows)
             total += rows.shape[0]
         if total != dim:
