@@ -380,8 +380,11 @@ def rqi_refined_energy(ham, v, iters: int = 2, restart: int = 20,
             restart=restart,
             maxiter=maxiter)).astype(ctype)
         t = t - np.vdot(x, t) * x
-        x = x - t
-        x = x / np.linalg.norm(x)
+        xn = x - t
+        nn = np.linalg.norm(xn)
+        if not np.isfinite(nn) or nn == 0.0:
+            break      # GMRES breakdown: keep the last finite iterate
+        x = xn / nn
     y = host_matvec_f64(ham, x)
     return float(np.real(np.vdot(x, y)) / np.real(np.vdot(x, x)))
 
@@ -443,5 +446,14 @@ def chip_rqi_refined_energy(ham, v, iters: int = 2, restart: int = 20,
             break
         t = _gmres_correct(ham, r, th32, restart=restart,
                            maxiter=maxiter)
-        x = _apply_correction(x, t)
+        if not bool(jnp.isfinite(jnp.linalg.norm(t))):
+            # GMRES breakdown (NaN) — near-degenerate theta makes
+            # (H - theta) nearly singular; a short solve amplifies less
+            t = _gmres_correct(ham, r, th32, restart=8, maxiter=1)
+        xn = _apply_correction(x, t)
+        # keep the last finite iterate — its quotient is still at
+        # least the plain df64 Rayleigh refinement
+        if not bool(jnp.isfinite(jnp.linalg.norm(xn))):
+            break
+        x = xn
     return theta
