@@ -516,6 +516,11 @@ class SolveInfo:
 
 def _dense_solve(ham, num_states: int):
     dense = ham.to_dense()
+    # eigh in f64 regardless of the stored dtype: np.linalg.eigh
+    # preserves the input dtype, and an f32 eigensolve floors tiny
+    # sectors at ~1e-8 relative even when H's entries are exact in f32
+    dense = dense.astype(np.complex128 if np.iscomplexobj(dense)
+                         else np.float64)
     evals, evecs = np.linalg.eigh(dense)
     k = min(num_states, dense.shape[0])
     # host vectors: tiny, and complex h2d is unimplemented on the axon
