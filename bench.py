@@ -428,72 +428,67 @@ def main():
     del V, v, Vb, vb, Vs, st, Vsb, stb, ham16, y
     gc.collect()
 
+    def time_eager(h, repeats=2):
+        """min-of-N dependent-chain ms/matvec of the shared jitted
+        matvec — chip-state drift mid-run (BASELINE.md) otherwise
+        poisons single measurements of these sections."""
+        best = None
+        for _rep in range(repeats):
+            xv = jax.random.normal(key, (h.dim,), jnp.float32)
+            xv = xv / jnp.linalg.norm(xv)
+            yv = matvec(h, xv)
+            yv.block_until_ready()
+            _ = float(yv[0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                xv = matvec(h, xv)
+            xv.block_until_ready()
+            _ = float(xv[0])
+            dtv = (time.perf_counter() - t0) / iters
+            best = dtv if best is None else min(best, dtv)
+        return best
+
     # -- t-J sector via the half-cut block factorization --------------
     # (the reference-capability model whose flat path is the generic
     # gather-ELL; the factored form runs the hot loop as MXU GEMMs)
     tj_nsite = 18 if platform != "cpu" else 8
     tj_fill = tj_nsite // 2 - 1
     tj_ham = build_tj_factored(tj_nsite, tj_fill, tj_fill)
-    xt = jax.random.normal(key, (tj_ham.dim,), jnp.float32)
-    xt = xt / jnp.linalg.norm(xt)
-    yt = matvec(tj_ham, xt)
-    yt.block_until_ready()
-    _ = float(yt[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xt = matvec(tj_ham, xt)
-    xt.block_until_ready()
-    _ = float(xt[0])
-    dt_tj = (time.perf_counter() - t0) / iters
+    dt_tj = time_eager(tj_ham)
     tj_nnz = tj_ham.nnz
     tj_dim = tj_ham.dim
     # cross-term share: time the same form with perm_cross stripped
     # (VERDICT r2 item 8 — makes PermCrossTerm regressions visible)
-    dt_tj_nocross = _time_stripped(tj_ham, xt, iters)
+    xt = jax.random.normal(key, (tj_ham.dim,), jnp.float32)
+    dt_tj_nocross = min(_time_stripped(tj_ham, xt, iters),
+                        _time_stripped(tj_ham, xt, iters))
     dt_tj_scan = _time_scanned(tj_ham)
 
     # -- Rashba SOC sector in block-Kronecker form ---------------------
     # (union basis over (nup, ndown); the flat path is whole-dim
     # gather-ELL, the block form runs hops as per-block MXU GEMMs and
     # the spin flips as partial-permutation gathers)
-    del tj_ham, xt, yt
+    del tj_ham, xt
     gc.collect()
     ra_nsite = 13 if platform != "cpu" else 6
     ra_ham = build_rashba_halfcut(ra_nsite, ra_nsite)
-    xr = jax.random.normal(key, (ra_ham.dim,), jnp.float32)
-    xr = xr / jnp.linalg.norm(xr)
-    yr = matvec(ra_ham, xr)
-    yr.block_until_ready()
-    _ = float(yr[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xr = matvec(ra_ham, xr)
-    xr.block_until_ready()
-    _ = float(xr[0])
-    dt_ra = (time.perf_counter() - t0) / iters
+    dt_ra = time_eager(ra_ham)
     ra_nnz = ra_ham.nnz
     ra_dim = ra_ham.dim
-    dt_ra_nocross = _time_stripped(ra_ham, xr, iters)
+    xr = jax.random.normal(key, (ra_ham.dim,), jnp.float32)
+    dt_ra_nocross = min(_time_stripped(ra_ham, xr, iters),
+                        _time_stripped(ra_ham, xr, iters))
     dt_ra_scan = _time_scanned(ra_ham)
-    del ra_ham, yr
+    del ra_ham, xr
     gc.collect()
-    # A/B: bf16 cross-amplitude tables (half the gather bytes of the
-    # bandwidth-bound PermCrossTerms; RQI refinement recovers exact
-    # energies from the unquantized host-f64 residual)
+    # A/B: bf16 cross-amplitude tables (halve the gather bytes of the
+    # PermCrossTerms; RQI refinement recovers exact energies from the
+    # unquantized host-f64 residual)
     import jax.numpy as _jnp
     ra16 = build_rashba_halfcut(ra_nsite, ra_nsite,
                                 cross_dtype=_jnp.bfloat16)
-    xr = xr / jnp.linalg.norm(xr)
-    yr = matvec(ra16, xr)
-    yr.block_until_ready()
-    _ = float(yr[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        xr = matvec(ra16, xr)
-    xr.block_until_ready()
-    _ = float(xr[0])
-    dt_ra16 = (time.perf_counter() - t0) / iters
-    del ra16, xr, yr
+    dt_ra16 = time_eager(ra16)
+    del ra16
     gc.collect()
 
     # -- df64 refined-energy accuracy vs exact oracles ----------------

@@ -71,7 +71,7 @@ def main():
     f_diag = jax.jit(lambda x, dd: dd * x)
     out["diag_only_ms"] = timeit(f_diag, x, d) * 1e3
 
-    for k, v in out.items():
+    for k, v in list(out.items()):
         if "ms" in k and "diag" not in k and "full" not in k:
             out[k.replace("_ms", "_tflops")] = round(
                 flops / (v * 1e-3) / 1e12, 1)
