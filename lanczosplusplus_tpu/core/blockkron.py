@@ -81,6 +81,15 @@ class PermCrossTerm:
     # (builders compute this; None = one group per channel)
     groups: Optional[tuple] = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # "bf16": gather the source block in bfloat16 (half the gather
+    # bytes of this bandwidth-bound path).  The amplitude tables stay
+    # FULL precision, so host_matvec_f64 still applies the TRUE
+    # operator and the RQI refinement recovers exact energies; the
+    # quantized matvec also invalidates the selective-reorth omega
+    # recurrence, so solvers force full reorthogonalization
+    # (Hamiltonian.quantized)
+    state_cast: Optional[str] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
@@ -98,13 +107,14 @@ def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
         else:
             sig[key] = len(groups)
             groups.append([k])
-    cdt = cross_dtype if cross_dtype is not None else dtype
+    state_cast = "bf16" if cross_dtype == jnp.bfloat16 else None
     return PermCrossTerm(
         row_src=jnp.asarray(row_src),
-        row_amp=_to_device(np.asarray(row_amp), cdt),
+        row_amp=_to_device(np.asarray(row_amp), dtype),
         col_src=jnp.asarray(np.asarray(col_src)),
-        col_amp=_to_device(np.asarray(col_amp), cdt),
-        src=src, dst=dst, groups=tuple(tuple(g) for g in groups))
+        col_amp=_to_device(np.asarray(col_amp), dtype),
+        src=src, dst=dst, groups=tuple(tuple(g) for g in groups),
+        state_cast=state_cast)
 
 
 def _cross_groups(t: "PermCrossTerm"):
@@ -113,12 +123,13 @@ def _cross_groups(t: "PermCrossTerm"):
 
 
 def _cross_state(t: "PermCrossTerm", xsrc: jax.Array):
-    """Source block cast to the amplitude dtype: a bf16 amplitude table
-    (builder option) halves the gather traffic of this bandwidth-bound
-    path; products run on the VPU in bf16 and accumulate in the state
-    dtype (exact final energies come from the RQI refinement, whose
-    host-f64 residual uses the unquantized amplitudes)."""
-    if (t.row_amp.dtype == jnp.bfloat16
+    """Source block for the gathers: with state_cast="bf16" (builder
+    option cross_dtype=bf16) the block is cast down once so the
+    gathers move half the bytes; the amplitude multiplies promote back
+    to the state dtype.  Exact final energies come from the RQI
+    refinement, whose host-f64 residual applies the unquantized
+    amplitudes to the unquantized state."""
+    if (getattr(t, "state_cast", None) == "bf16"
             and jnp.issubdtype(xsrc.dtype, jnp.floating)):
         return xsrc.astype(jnp.bfloat16)
     return xsrc
@@ -197,6 +208,16 @@ class BlockKronHamiltonian:
     @property
     def dtype(self):
         return self.diag[0].dtype
+
+    @property
+    def quantized(self) -> bool:
+        """True when any matvec stage quantizes the state below the
+        compute dtype (bf16 cross gathers): solvers then force full
+        reorthogonalization — the selective omega recurrence assumes
+        an exact three-term recurrence and silently collapses at the
+        quantization noise level."""
+        return any(getattr(t, "state_cast", None) is not None
+                   for t in self.perm_cross)
 
     @property
     def nnz(self) -> int:
@@ -428,6 +449,10 @@ class PermutedHamiltonian:
     @property
     def nnz(self):
         return self.inner.nnz
+
+    @property
+    def quantized(self):
+        return self.inner.quantized
 
     def matvec(self, x):
         xp = x[self.perm]

@@ -145,12 +145,22 @@ class Engine:
         dynamic-run sectors from s+/s- use it too), plain half-cut
         Kronecker for Kitaev (full 2^n, flat order is already the
         product order), block-Kronecker unions for Rashba / t-J /
-        FeAs spin-orbit."""
+        FeAs spin-orbit.
+
+        SolverOptions=factored,bf16cross additionally stores the
+        cut-crossing amplitude tables in bfloat16 (real scalars only):
+        ~4e-4-level matvec quantization the RQI refinement removes
+        from final energies via its unquantized host-f64 residual —
+        a throughput knob for the gather-bound cross path."""
         from lanczosplusplus_tpu.models import factored_hamiltonian_or_none
 
+        cross_dtype = None
+        if "bf16cross" in self.inp.solver_options() \
+                and not self.config.use_complex:
+            cross_dtype = jnp.bfloat16
         return factored_hamiltonian_or_none(
             self.model, basis, parts, self.config.scalar_dtype,
-            warn=warn)
+            warn=warn, cross_dtype=cross_dtype)
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:

@@ -115,7 +115,7 @@ class InputData:
         "MatrixVectorStored", "twositedmrg", "fixLegacyBugs",
         # tpu-native extensions
         "useComplex", "factored", "reortho", "serialgf",
-        "ftlm", "ltlm",
+        "ftlm", "ltlm", "bf16cross",
     }
 
     def solver_options(self) -> set:

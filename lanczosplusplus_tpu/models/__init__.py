@@ -1,7 +1,8 @@
 from lanczosplusplus_tpu.models.registry import build_model  # noqa: F401
 
 
-def factored_hamiltonian_or_none(model, basis, parts, dtype, warn=None):
+def factored_hamiltonian_or_none(model, basis, parts, dtype, warn=None,
+                                 cross_dtype=None):
     """The half-cut block-factorized Hamiltonian for models that have
     one (arbitrary-S Heisenberg Sz sectors, Kitaev full space, Rashba
     SOC total-N sectors, t-J spatial half-cut, FeAs spin-orbit
@@ -32,11 +33,13 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype, warn=None):
             # (nup, ndown) block-Kronecker form on the 13-site bench)
             from lanczosplusplus_tpu.models.rashba_halfcut import \
                 build_halfcut_rashba
-            return build_halfcut_rashba(model, basis, dtype=dtype)
+            return build_halfcut_rashba(model, basis, dtype=dtype,
+                                        cross_dtype=cross_dtype)
         if name == "TjMultiOrbModel":
             from lanczosplusplus_tpu.models.tj_factored import \
                 build_factored_tj
-            return build_factored_tj(model, basis, dtype=dtype)
+            return build_factored_tj(model, basis, dtype=dtype,
+                                     cross_dtype=cross_dtype)
         if name == "FeAsSpinOrbitModel":
             from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
                 build_factored_feas_spinorbit

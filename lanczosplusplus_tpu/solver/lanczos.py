@@ -538,7 +538,8 @@ def _maybe_refine(ham, evals, vecs):
     state (exact f64, off the hot path), capped by a flop budget so the
     automatic path never stalls minutes on a huge factored sector."""
     dt = jnp.dtype(getattr(ham, "dtype", np.float64))
-    if dt not in (jnp.float32, jnp.complex64):
+    quantized = getattr(ham, "quantized", False)
+    if dt not in (jnp.float32, jnp.complex64) and not quantized:
         return evals
     from lanczosplusplus_tpu.ops import df64
     is_flat_real = (dt == jnp.float32 and hasattr(ham, "ell")
@@ -627,6 +628,13 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     steps = int(min(dim, max_steps))
     if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
         tol = max(tol, 1e-6)
+    if getattr(ham, "quantized", False):
+        # quantized (bf16-state-cast) matvecs break the selective
+        # omega recurrence's exact-three-term assumption — its silent
+        # orthogonality collapse produces garbage Ritz values; full
+        # reorthogonalization is noise-robust
+        reorth = "full"
+        tol = max(tol, 1e-3)
     restarts = 0
     while True:
         res = tridiagonalize(ham, v0, steps, reorth=reorth)

@@ -148,3 +148,37 @@ def test_memory_bounded_restarted_lanczos():
     exact = np.linalg.eigh(ham.to_dense())[0]
     assert info.converged
     np.testing.assert_allclose(float(evals[0]), exact[0], atol=1e-8)
+
+
+def test_bf16cross_option_solves_exactly():
+    """SolverOptions=factored,bf16cross: bf16 cross-amplitude tables,
+    exact final energy through the RQI refinement's unquantized
+    host-f64 residual."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.engine import Engine
+
+    n, ne = 6, 6
+    term = """DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 {v}
+"""
+    base = (f"TotalNumberOfSites={n}\nNumberOfTerms=2\n"
+            + term.format(v=-1.0) + term.format(v=0.5)
+            + "Model=HubbardOneBandRashbaSOC\n"
+            + f"hubbardU {n} {' '.join(['4'] * n)}\n"
+            + f"potentialV {2 * n} {' '.join(['0'] * 2 * n)}\n"
+            + f"TargetElectronsTotal={ne}\nIsPeriodicX=1\n")
+    e_ref = Engine(
+        *(lambda i: (build_model(i, Geometry(i)), i))(
+            parse_input(base + "SolverOptions=factored\n"))
+    ).ground_energy
+    inp16 = parse_input(base + "SolverOptions=factored,bf16cross\n")
+    eng16 = Engine(build_model(inp16, Geometry(inp16)), inp16)
+    import jax.numpy as jnp
+    ham = eng16._ham_cache[eng16.parts]
+    assert ham.inner.perm_cross[0].state_cast == "bf16"
+    assert ham.quantized
+    assert eng16.ground_energy == pytest.approx(e_ref, abs=1e-8)
