@@ -90,14 +90,24 @@ class PermCrossTerm:
     # (Hamiltonian.quantized)
     state_cast: Optional[str] = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # channel groups sharing an identical (col_src, col_amp) pair:
+    # physically, the hopping and Rashba channels of one crossing bond
+    # act with the SAME operator on one factor and differ only on the
+    # other, so their row sides can be combined BEFORE the column
+    # gather — one column gather per col group instead of per channel
+    # (the column side is the larger half of the cross traffic).
+    # None = one group per channel (legacy layout)
+    col_groups: Optional[tuple] = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
 
 def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
                     dtype, cross_dtype=None) -> "PermCrossTerm":
     """PermCrossTerm from host channel tables: computes the shared-
-    row-map channel groups (one row gather per group in the apply) and
-    applies the optional below-compute-precision amplitude dtype
-    (bf16 halves the gather traffic; real inputs only)."""
+    row-map channel groups (one row gather per group in the apply),
+    the shared-(col map, col amp) column groups (one column gather per
+    col group), and applies the optional below-compute-precision state
+    cast (bf16 halves the gather traffic; real inputs only)."""
     row_src = np.asarray(row_src)
     sig, groups = {}, []
     for k in range(row_src.shape[0]):
@@ -107,14 +117,25 @@ def make_perm_cross(row_src, row_amp, col_src, col_amp, src, dst,
         else:
             sig[key] = len(groups)
             groups.append([k])
+    col_src = np.asarray(col_src)
+    col_amp_h = np.asarray(col_amp)
+    csig, cgroups = {}, []
+    for k in range(col_src.shape[0]):
+        key = col_src[k].tobytes() + col_amp_h[k].tobytes()
+        if key in csig:
+            cgroups[csig[key]].append(k)
+        else:
+            csig[key] = len(cgroups)
+            cgroups.append([k])
     state_cast = "bf16" if cross_dtype == jnp.bfloat16 else None
     return PermCrossTerm(
         row_src=jnp.asarray(row_src),
         row_amp=_to_device(np.asarray(row_amp), dtype),
-        col_src=jnp.asarray(np.asarray(col_src)),
-        col_amp=_to_device(np.asarray(col_amp), dtype),
+        col_src=jnp.asarray(col_src),
+        col_amp=_to_device(col_amp_h, dtype),
         src=src, dst=dst, groups=tuple(tuple(g) for g in groups),
-        state_cast=state_cast)
+        state_cast=state_cast,
+        col_groups=tuple(tuple(g) for g in cgroups))
 
 
 def _cross_groups(t: "PermCrossTerm"):
@@ -135,6 +156,16 @@ def _cross_state(t: "PermCrossTerm", xsrc: jax.Array):
     return xsrc
 
 
+def _col_groups(t: "PermCrossTerm"):
+    return (t.col_groups if t.col_groups is not None
+            else tuple((n,) for n in range(t.col_src.shape[0])))
+
+
+def _use_col_dedup(t: "PermCrossTerm") -> bool:
+    cg = getattr(t, "col_groups", None)
+    return cg is not None and any(len(g) > 1 for g in cg)
+
+
 def _perm_cross_apply(t: "PermCrossTerm", xsrc: jax.Array) -> jax.Array:
     """(rows_dst, cols_dst) contribution of one PermCrossTerm.
 
@@ -145,17 +176,39 @@ def _perm_cross_apply(t: "PermCrossTerm", xsrc: jax.Array) -> jax.Array:
     slower (measured in benchmarks/permcross_variants.py — a fully
     vectorized stacked-gather rewrite was 350x SLOWER than this loop at
     the Rashba-13 bench shapes).  Channels sharing a row map (groups)
-    reuse one row gather; bf16 amplitude tables (builder option) halve
+    reuse one row gather; channels sharing a (col map, col amp) pair
+    (col_groups — e.g. the hop and Rashba channels of one crossing
+    bond) combine their row sides BEFORE the column gather, halving
+    the column-side traffic; bf16 state cast (builder option) halves
     the gather bytes."""
     dtype = xsrc.dtype
     xg = _cross_state(t, xsrc)
-    acc = None
-    for group in _cross_groups(t):
-        rows = xg[t.row_src[group[0]]]         # (r_dst, c_src)
+    if not _use_col_dedup(t):
+        acc = None
+        for group in _cross_groups(t):
+            rows = xg[t.row_src[group[0]]]     # (r_dst, c_src)
+            for n in group:
+                term = (t.row_amp[n][:, None] * rows[:, t.col_src[n]]
+                        * t.col_amp[n][None, :]).astype(dtype)
+                acc = term if acc is None else acc + term
+        return acc
+    group_of = {}
+    rows_of = {}
+    for gi, group in enumerate(_cross_groups(t)):
+        rows_of[gi] = xg[t.row_src[group[0]]]  # (r_dst, c_src)
         for n in group:
-            term = (t.row_amp[n][:, None] * rows[:, t.col_src[n]]
-                    * t.col_amp[n][None, :]).astype(dtype)
-            acc = term if acc is None else acc + term
+            group_of[n] = gi
+    acc = None
+    for cgroup in _col_groups(t):
+        pre = None
+        for n in cgroup:
+            term = t.row_amp[n][:, None] * rows_of[group_of[n]]
+            pre = term if pre is None else pre + term
+        pre = pre.astype(xg.dtype)             # keep bf16 gather bytes
+        rep = cgroup[0]
+        out = (pre[:, t.col_src[rep]]
+               * t.col_amp[rep][None, :]).astype(dtype)
+        acc = out if acc is None else acc + out
     return acc
 
 
@@ -165,14 +218,33 @@ def _perm_cross_apply_batched(t: "PermCrossTerm",
     for the SpMM recurrence; xsrc is (k, rows_src, cols_src)."""
     dtype = xsrc.dtype
     xg = _cross_state(t, xsrc)
-    acc = None
-    for group in _cross_groups(t):
-        rows = xg[:, t.row_src[group[0]]]      # (k, r_dst, c_src)
+    if not _use_col_dedup(t):
+        acc = None
+        for group in _cross_groups(t):
+            rows = xg[:, t.row_src[group[0]]]  # (k, r_dst, c_src)
+            for n in group:
+                term = (t.row_amp[n][None, :, None]
+                        * rows[:, :, t.col_src[n]]
+                        * t.col_amp[n][None, None, :]).astype(dtype)
+                acc = term if acc is None else acc + term
+        return acc
+    group_of = {}
+    rows_of = {}
+    for gi, group in enumerate(_cross_groups(t)):
+        rows_of[gi] = xg[:, t.row_src[group[0]]]
         for n in group:
-            term = (t.row_amp[n][None, :, None]
-                    * rows[:, :, t.col_src[n]]
-                    * t.col_amp[n][None, None, :]).astype(dtype)
-            acc = term if acc is None else acc + term
+            group_of[n] = gi
+    acc = None
+    for cgroup in _col_groups(t):
+        pre = None
+        for n in cgroup:
+            term = t.row_amp[n][None, :, None] * rows_of[group_of[n]]
+            pre = term if pre is None else pre + term
+        pre = pre.astype(xg.dtype)
+        rep = cgroup[0]
+        out = (pre[:, :, t.col_src[rep]]
+               * t.col_amp[rep][None, None, :]).astype(dtype)
+        acc = out if acc is None else acc + out
     return acc
 
 
@@ -419,6 +491,51 @@ def tierize(bk: BlockKronHamiltonian,
     return dataclasses.replace(
         bk, tiers=tuple(tiers), diag_t=tuple(diag_t),
         row_t=tuple(row_t), col_t=tuple(col_t))
+
+
+def tierize_uniform(bk: BlockKronHamiltonian, pad_to: int = 128,
+                    max_blowup: float = 8.0):
+    """ONE tier holding every block, padded to a single (R, C): the
+    whole within-block path (diag + row GEMMs + col GEMMs) runs as
+    three batched einsum kernels instead of ~3 kernels per block.
+
+    Many-small-block forms (the t-J half-cut: 25-45 blocks, largest a
+    few hundred squared) are dispatch-bound, not FLOP-bound — measured
+    2.9 ms for 8 GFLOP of GEMMs on the 18-site bench sector, an ~18x
+    gap to the MXU roofline that kernel batching closes.  The padding
+    FLOPs are free at these sizes; `max_blowup` guards against
+    applying this to forms with strongly heterogeneous block shapes
+    (e.g. the Rashba half-cut), where padded-state memory and FLOPs
+    would explode.  Returns `bk` unchanged when the guard trips."""
+    def up(v):
+        return max(8, -(-v // pad_to) * pad_to)
+
+    R = up(max(r for r, _ in bk.shapes))
+    C = up(max(c for _, c in bk.shapes))
+    nb = len(bk.shapes)
+    if nb < 2 or nb * R * C > max_blowup * bk.dim:
+        return bk
+    dt = bk.diag[0].dtype
+    idxs = tuple(range(nb))
+    diag_t = jnp.stack(
+        [jnp.pad(bk.diag[b], ((0, R - bk.shapes[b][0]),
+                              (0, C - bk.shapes[b][1])))
+         for b in idxs])
+    row_t = jnp.stack(
+        [jnp.pad(bk.row_ops[b] if bk.row_ops[b] is not None
+                 else jnp.zeros((bk.shapes[b][0],) * 2, dt),
+                 ((0, R - bk.shapes[b][0]),) * 2)
+         for b in idxs]) \
+        if any(op is not None for op in bk.row_ops) else None
+    col_t = jnp.stack(
+        [jnp.pad(bk.col_ops[b] if bk.col_ops[b] is not None
+                 else jnp.zeros((bk.shapes[b][1],) * 2, dt),
+                 ((0, C - bk.shapes[b][1]),) * 2)
+         for b in idxs]) \
+        if any(op is not None for op in bk.col_ops) else None
+    return dataclasses.replace(
+        bk, tiers=((idxs, R, C),), diag_t=(diag_t,),
+        row_t=(row_t,), col_t=(col_t,))
 
 
 @jax.tree_util.register_dataclass

@@ -164,24 +164,41 @@ class Engine:
 
     def _solve_with_symmetry(self, inp, nstates):
         """Sector scan keeping the lowest states (reference:
-        Engine.h:601-657 computeAllStatesBelow over symmetry sectors)."""
+        Engine.h:601-657 computeAllStatesBelow over symmetry sectors).
+
+        Each k-block gets the same dispatch honesty as the flat path:
+        densified Kronecker factors on accelerators, and the winning
+        block's SolveInfo is logged/exposed (a silently unconverged or
+        dense-fallback block solve previously reported nothing)."""
         from lanczosplusplus_tpu.symmetry import build_symmetry
 
         fermionic = getattr(self.model, "is_fermionic", True)
         sym = build_symmetry(inp, self.basis, self.model.geometry,
                              self.model, fermionic=fermionic)
+        import jax
+        densify = jax.default_backend() != "cpu"
         best = None
         for s in range(sym.sectors()):
             ham_s = sym.block_hamiltonian(s)
             if ham_s is None or ham_s.dim == 0:
                 continue
-            evals, vecs = lz.lowest_states(
+            if densify and hasattr(ham_s, "densify_factors"):
+                ham_s = ham_s.densify_factors()
+            evals, vecs, info = lz.lowest_states(
                 ham_s, num_states=min(nstates, ham_s.dim),
                 seed=self.config.seed,
-                max_steps=self.config.lanczos_steps)
+                max_steps=self.config.lanczos_steps,
+                return_info=True)
+            if not info.converged:
+                self.progress(
+                    f"WARNING: symmetry block {s} unconverged "
+                    f"(relative residual {info.residual:.3e} after "
+                    f"{info.steps} steps)")
             if best is None or evals[0] < best[0][0]:
-                best = (evals, vecs, s)
-        evals, vecs, sector = best
+                best = (evals, vecs, s, info)
+        evals, vecs, sector, info = best
+        self._log_solve(info)
+        self.solve_sector = sector
         self._energies = evals
         self._vectors = [sym.transform(_to_host(v), sector)
                          for v in vecs]
