@@ -66,10 +66,11 @@ if __name__ == "__main__" and "--inner" not in sys.argv:
     want_device = (env.get("JAX_PLATFORMS") != "cpu" and
                    not env.get("LPP_BENCH_FORCE_CPU"))
     # per-shape remote compiles cost minutes; the full TPU run with the
-    # round-4 sections (cross-share, scanned, refined oracles, on-chip
-    # correctness, pallas A/B) needs ~30 min — a too-small budget here
-    # silently demotes the whole bench to CPU numbers
-    inner_budget = int(os.environ.get("LPP_BENCH_TIMEOUT_S", 4200))
+    # round-5 sections (scanned cross shares, FeAs INT_PAPER33,
+    # projected translation symmetry, on-chip correctness, pallas A/B)
+    # needs ~45 min — a too-small budget here silently demotes the
+    # whole bench to CPU numbers
+    inner_budget = int(os.environ.get("LPP_BENCH_TIMEOUT_S", 5400))
     if want_device:
         if _device_backend_healthy():
             line = _run_inner(env, inner_budget)
@@ -279,6 +280,32 @@ def _host_f64_oracle(bk_ham, k=1):
     return float(np.min(vals))
 
 
+def build_feas_p33(nsite, nup, ndn, dtype=np.float32):
+    """FeAs 2-orbital INT_PAPER33 chain sector — the one production
+    Hamiltonian class whose spin-coupled interaction terms (U2
+    transverse + U3 pair hopping) live in a generic ELL remainder on
+    top of the Kronecker hopping factors (reference hot loop:
+    src/Models/FeBasedSc/FeBasedSc.h:52-116)."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+
+    text = (f"TotalNumberOfSites={nsite}\nModel=FeAsBasedSc\n"
+            "FeAsMode=INT_PAPER33\nNumberOfTerms=1\n"
+            "DegreesOfFreedom=2\nOrbitals=2\nGeometryKind=chain\n"
+            "GeometryOptions=ConstantValues\nSolverOptions=none\n"
+            "hubbardU 4 4.0 3.0 -0.8 -0.4\n"
+            "Connectors 2 2\n-1.0 0.0\n0.0 -1.0\n"
+            f"potentialV {4 * nsite} "
+            + " ".join(["0"] * (4 * nsite)) + "\n"
+            f"TargetElectronsUp={nup}\nTargetElectronsDown={ndn}\n"
+            "IsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((nup, ndn))
+    return model.hamiltonian(basis, dtype=dtype)
+
+
 def build_kitaev_factored(nsite, dtype=np.float32):
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
@@ -451,6 +478,7 @@ def main():
     # -- t-J sector via the half-cut block factorization --------------
     # (the reference-capability model whose flat path is the generic
     # gather-ELL; the factored form runs the hot loop as MXU GEMMs)
+    import dataclasses as _dc
     tj_nsite = 18 if platform != "cpu" else 8
     tj_fill = tj_nsite // 2 - 1
     tj_ham = build_tj_factored(tj_nsite, tj_fill, tj_fill)
@@ -458,11 +486,16 @@ def main():
     tj_nnz = tj_ham.nnz
     tj_dim = tj_ham.dim
     # cross-term share: time the same form with perm_cross stripped
-    # (VERDICT r2 item 8 — makes PermCrossTerm regressions visible)
+    # (VERDICT r2 item 8 — makes PermCrossTerm regressions visible).
+    # Shares are ALSO reported from scanned timings: the scan is the
+    # production Lanczos context, and eager dispatch latency through
+    # the relay varies run to run (it poisoned the round-5 A/B eagers)
     xt = jax.random.normal(key, (tj_ham.dim,), jnp.float32)
     dt_tj_nocross = min(_time_stripped(tj_ham, xt, iters),
                         _time_stripped(tj_ham, xt, iters))
     dt_tj_scan = _time_scanned(tj_ham)
+    dt_tj_scan_nocross = _time_scanned(
+        _dc.replace(tj_ham, perm_cross=()))
 
     # -- Rashba SOC sector in block-Kronecker form ---------------------
     # (union basis over (nup, ndown); the flat path is whole-dim
@@ -479,6 +512,8 @@ def main():
     dt_ra_nocross = min(_time_stripped(ra_ham, xr, iters),
                         _time_stripped(ra_ham, xr, iters))
     dt_ra_scan = _time_scanned(ra_ham)
+    dt_ra_scan_nocross = _time_scanned(
+        _dc.replace(ra_ham, perm_cross=()))
     del ra_ham, xr
     gc.collect()
     # A/B: bf16 cross-amplitude tables (halve the gather bytes of the
@@ -490,6 +525,77 @@ def main():
     dt_ra16 = time_eager(ra16)
     del ra16
     gc.collect()
+
+    # -- FeAs 2-orbital INT_PAPER33 sector (VERDICT r4 item 6): the
+    # production Hamiltonian class with a spin-coupled ELL remainder
+    # on top of the Kronecker hopping factors --------------------------
+    fe_nsite = 8 if platform != "cpu" else 4
+    fe_ham = build_feas_p33(fe_nsite, fe_nsite // 2,
+                            fe_nsite // 2).densify_factors()
+    fe_nnz = fe_ham.nnz
+    fe_dim = fe_ham.dim
+    dt_fe = time_eager(fe_ham)
+    dt_fe_scan = _time_scanned(fe_ham)
+    # remainder share: same form with the ELL remainder stripped
+    fe_kron = _dc.replace(fe_ham, ell=None)
+    dt_fe_kron = time_eager(fe_kron)
+    del fe_ham, fe_kron
+    gc.collect()
+
+    # -- translation symmetry ON the chip: momentum-projected Lanczos
+    # over the FULL 2^24 Kitaev chain (VERDICT r4 item 2) — T^g is a
+    # reshape-transpose on the identity basis, so every sector solve
+    # runs at factored-matvec speed with zero gathers ------------------
+    sym = {}
+    if platform != "cpu" and not os.environ.get("LPP_BENCH_SKIP_SYM"):
+        try:
+            from lanczosplusplus_tpu.symmetry.projected import \
+                ProjectedTranslationSolver
+            from lanczosplusplus_tpu.solver.lanczos import (
+                tridiagonalize_plain, tridiag_eigh)
+            kit_n = 24
+            t0 = time.perf_counter()
+            kham24 = build_kitaev_factored(kit_n)
+            proj = ProjectedTranslationSolver(kham24, kit_n)
+            sym_build_s = time.perf_counter() - t0
+            from lanczosplusplus_tpu.solver.lanczos import lowest_states \
+                as _ls
+            e_plain24, _ = _ls(kham24, max_steps=160,
+                               krylov_budget_bytes=7 << 30)
+            # per-k E0: one-pass plain tridiagonalization of P_k H
+            steps_k = 160
+            e_ks = []
+            t0 = time.perf_counter()
+            for s in range(proj.sectors()):
+                pk = proj.projected(s)
+                res = tridiagonalize_plain(pk, proj.start_vector(s),
+                                           steps_k)
+                ev, _ = tridiag_eigh(res.alphas, res.betas)
+                e_ks.append(float(ev[0]))
+            t_ks = time.perf_counter() - t0
+            kwin = int(np.argmin(e_ks))
+            # winner sector: full solve for the vector, purity, refine
+            e_win, v_win, _ = proj.solve_sector(kwin,
+                                                max_steps=steps_k)
+            purity = proj.purity(kwin, v_win[0])
+            sym = {
+                "sym_model": f"kitaev{kit_n}_translation_projected",
+                "sym_dim": kham24.dim,
+                "sym_sectors": proj.sectors(),
+                "sym_build_s": round(sym_build_s, 2),
+                "sym_k_iters_per_s": round(
+                    proj.sectors() * steps_k / t_ks, 1),
+                "sym_min_k": kwin,
+                "sym_min_k_e0_rel_err": float(
+                    f"{abs(float(e_win[0]) - float(e_plain24[0])) / abs(float(e_plain24[0])):.3g}"),
+                "sym_winner_purity": float(f"{purity:.6g}"),
+            }
+            del kham24, proj, v_win
+        except Exception as e:
+            print(f"bench: symmetry section failed: {e}",
+                  file=sys.stderr)
+            sym = {"sym_error": str(e)[:200]}
+        gc.collect()
 
     # -- df64 refined-energy accuracy vs exact oracles ----------------
     # (f32 solve + on-chip double-float Rayleigh quotient; the
@@ -682,6 +788,10 @@ IsPeriodicX=1
             "tj_ms_gemm_only": round(dt_tj_nocross * 1e3, 3),
             "tj_cross_share": round(1 - dt_tj_nocross / dt_tj, 3),
             "tj_ms_per_matvec_scanned": round(dt_tj_scan * 1e3, 3),
+            "tj_ms_gemm_only_scanned":
+                round(dt_tj_scan_nocross * 1e3, 3),
+            "tj_cross_share_scanned":
+                round(1 - dt_tj_scan_nocross / dt_tj_scan, 3),
             "rashba_nsite": ra_nsite,
             "rashba_dim": ra_dim,
             "rashba_nnz": ra_nnz,
@@ -693,8 +803,21 @@ IsPeriodicX=1
             "rashba_cross_share": round(1 - dt_ra_nocross / dt_ra, 3),
             "rashba_ms_per_matvec_scanned":
                 round(dt_ra_scan * 1e3, 3),
+            "rashba_ms_gemm_only_scanned":
+                round(dt_ra_scan_nocross * 1e3, 3),
+            "rashba_cross_share_scanned":
+                round(1 - dt_ra_scan_nocross / dt_ra_scan, 3),
             "rashba_ms_per_matvec_bf16cross":
                 round(dt_ra16 * 1e3, 3),
+            "feas_nsite": fe_nsite,
+            "feas_dim": fe_dim,
+            "feas_nnz": fe_nnz,
+            "feas_ms_per_matvec": round(dt_fe * 1e3, 3),
+            "feas_gnnz_per_s": round(fe_nnz / dt_fe / 1e9, 1),
+            "feas_ms_per_matvec_scanned": round(dt_fe_scan * 1e3, 3),
+            "feas_ms_kron_only": round(dt_fe_kron * 1e3, 3),
+            "feas_ell_share": round(1 - dt_fe_kron / dt_fe, 3),
+            **sym,
             "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
             "e0_heisenberg12_refined_rel_err":
                 float(f"{heis_rel_err:.3g}"),

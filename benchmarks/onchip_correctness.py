@@ -89,6 +89,12 @@ TargetElectronsUp=3
 TargetElectronsDown=3
 """
 
+# input104 = input100 + AnisotropyD (the -AnisotropyD FeAs TestSuite
+# config, /root/reference/TestSuite/inputs/input104.inp)
+INPUT104 = INPUT100.replace(
+    "TargetElectronsDown=3\n",
+    "TargetElectronsDown=3\nAnisotropyD=7\n")
+
 TJ8 = """
 TotalNumberOfSites=8
 NumberOfTerms=4
@@ -236,6 +242,17 @@ def compute_goldens():
         op, k=1, which="SA", return_eigenvectors=False, tol=1e-12)[0])
     g["dim_input100"] = int(h100.dim)
 
+    # -- input104 E0 (input100 + AnisotropyD=7; same oracle route)
+    inp104, m104 = _model(INPUT104)
+    b104 = m104.create_basis((3, 3))
+    h104 = m104.hamiltonian(b104, dtype=np.complex128)
+    op4 = spla.LinearOperator(
+        (h104.dim, h104.dim),
+        matvec=lambda v: host_matvec_f64(h104, v),
+        dtype=np.complex128)
+    g["e0_input104"] = float(spla.eigsh(
+        op4, k=1, which="SA", return_eigenvectors=False, tol=1e-12)[0])
+
     # -- t-J chain continued-fraction G(omega) (dense Lehmann oracle)
     _, mtj = _model(TJ8)
     gtj = _lehmann_cf(mtj, (3, 3), 0, 0)
@@ -282,6 +299,13 @@ def run_onchip(goldens):
     out["e0_input100_rel_err"] = abs(
         eng100.ground_energy - goldens["e0_input100"]) / abs(
         goldens["e0_input100"])
+
+    if "e0_input104" in goldens:
+        inp104, m104 = _model(INPUT104)
+        eng104 = Engine(m104, inp104)
+        out["e0_input104_rel_err"] = abs(
+            eng104.ground_energy - goldens["e0_input104"]) / abs(
+            goldens["e0_input104"])
 
     # continued-fraction G(omega) on the t-J chain vs the Lehmann
     # oracle curve (production double-sector Lanczos CF)

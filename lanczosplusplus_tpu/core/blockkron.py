@@ -538,6 +538,69 @@ def tierize_uniform(bk: BlockKronHamiltonian, pad_to: int = 128,
         row_t=(row_t,), col_t=(col_t,))
 
 
+def tierize_classes(bk: BlockKronHamiltonian, max_blowup: float = 6.0):
+    """Aspect-bucketed tiers: blocks are grouped {tall, square, wide}
+    by aspect ratio and each bucket is padded to its max dims (128
+    multiples above 128, powers of two below), so the whole GEMM path
+    runs as ~3 batched einsum sets regardless of block count.  Falls
+    back to the fine-grained `tierize` when the padded state would
+    exceed `max_blowup` x dim (strongly heterogeneous shapes)."""
+    def up(v):
+        if v <= 8:
+            return 8
+        if v <= 128:
+            p = 8
+            while p < v:
+                p *= 2
+            return p
+        return -(-v // 128) * 128
+
+    buckets = {}
+    for b, (r, c) in enumerate(bk.shapes):
+        kind = "tall" if r > 2 * c else ("wide" if c > 2 * r
+                                         else "square")
+        buckets.setdefault(kind, []).append(b)
+    tiers = []
+    total = 0
+    for kind, idxs in sorted(buckets.items()):
+        if len(idxs) < 2:
+            continue
+        R = up(max(bk.shapes[b][0] for b in idxs))
+        C = up(max(bk.shapes[b][1] for b in idxs))
+        tiers.append((tuple(idxs), R, C))
+        total += len(idxs) * R * C
+    if not tiers or total + sum(
+            bk.shapes[b][0] * bk.shapes[b][1]
+            for b in range(len(bk.shapes))
+            if not any(b in t[0] for t in tiers)) > max_blowup * bk.dim:
+        return tierize(bk)
+    dt = bk.diag[0].dtype
+
+    def stack(ops, idxs, R, C, square_rows=None):
+        if not any(ops[b] is not None for b in idxs):
+            return None
+        out = []
+        for b in idxs:
+            n = bk.shapes[b][0] if square_rows else bk.shapes[b][1]
+            op = ops[b] if ops[b] is not None \
+                else jnp.zeros((n, n), dt)
+            pad = (R if square_rows else C) - n
+            out.append(jnp.pad(op, ((0, pad),) * 2))
+        return jnp.stack(out)
+
+    diag_t, row_t, col_t = [], [], []
+    for idxs, R, C in tiers:
+        diag_t.append(jnp.stack(
+            [jnp.pad(bk.diag[b], ((0, R - bk.shapes[b][0]),
+                                  (0, C - bk.shapes[b][1])))
+             for b in idxs]))
+        row_t.append(stack(bk.row_ops, idxs, R, C, square_rows=True))
+        col_t.append(stack(bk.col_ops, idxs, R, C, square_rows=False))
+    return dataclasses.replace(
+        bk, tiers=tuple(tiers), diag_t=tuple(diag_t),
+        row_t=tuple(row_t), col_t=tuple(col_t))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PermutedHamiltonian:

@@ -298,14 +298,18 @@ def _lanczos_accumulate_pass(ham, v, v_prev, beta_prev, weights, acc, js):
 
 
 def lowest_states_plain(ham, num_states: int = 1, seed: int = 7239443,
-                        max_steps: int = 300):
+                        max_steps: int = 300, v0=None):
     """Ground/low states via plain two-pass Lanczos: first pass builds
     (alpha, beta) with O(2 vectors) memory, host eigensolve, second
     pass replays the recurrence to accumulate the Ritz vectors."""
     dim = ham.dim
     dtype = ham.dtype
     steps = int(min(dim, max_steps))
-    v0 = random_start_vector(dim, seed, dtype)
+    if v0 is None:
+        v0 = random_start_vector(dim, seed, dtype)
+    else:
+        v0 = jnp.asarray(v0, dtype)
+        v0 = v0 / jnp.linalg.norm(v0)
     zero = _zeros_like(v0)
     v, vp, beta, alphas, betas = _lanczos_chunk_plain(
         ham, v0, zero, jnp.asarray(0.0, jnp.float64
@@ -475,21 +479,31 @@ def ritz_vectors(res: LanczosResult, weights: np.ndarray) -> jax.Array:
 
 def random_start_block(dim: int, num: int, seed: int, dtype) -> jax.Array:
     """Deterministic random (dim, num) block with unit-norm columns —
-    the shared start-vector generator for Lanczos, FTLM and KPM
-    (complex dtypes get float64/float32 components matching their
-    precision)."""
+    the shared start-vector generator for Lanczos, FTLM and KPM.
+
+    Components are ALWAYS generated in float32 and cast, so the same
+    (dim, num, seed) yields the same stochastic sample at every
+    precision: an f32 run and an f64 golden then differ only by
+    arithmetic rounding, not by a resampled estimator.  (jax.random
+    consumes different bit counts per dtype; generating in the target
+    dtype made the round-4 FTLM 'f32 error' field actually measure
+    R=24 stochastic spread — 7.6e-3 — while the true f32-vs-f64
+    pipeline deviation on identical start vectors is ~8e-9.)"""
     key = jax.random.PRNGKey(seed)
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-        real_dt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
-            else jnp.float32
         k1, k2 = jax.random.split(key)
         # lax.complex, not `+ 1j *`: a Python complex constant would
         # transfer as a complex buffer (unimplemented on the axon relay)
+        real_dt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 \
+            else jnp.float32
         v = jax.lax.complex(
-            jax.random.normal(k1, (dim, num), real_dt),
-            jax.random.normal(k2, (dim, num), real_dt)).astype(dtype)
+            jax.random.normal(k1, (dim, num), jnp.float32)
+            .astype(real_dt),
+            jax.random.normal(k2, (dim, num), jnp.float32)
+            .astype(real_dt)).astype(dtype)
     else:
-        v = jax.random.normal(key, (dim, num), dtype)
+        v = jax.random.normal(key, (dim, num), jnp.float32) \
+            .astype(dtype)
     return v / jnp.linalg.norm(v, axis=0, keepdims=True)
 
 
@@ -570,7 +584,8 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
                   krylov_budget_bytes: int = 6 << 30,
                   reorth="selective", return_info: bool = False,
                   dense_fallback_dim: int = 8192,
-                  strict: bool = False, refine: bool = True):
+                  strict: bool = False, refine: bool = True,
+                  v0=None):
     """Lowest `num_states` eigenpairs of a sector Hamiltonian.
 
     Equivalent to LanczosSolver::computeAllStatesBelow as driven by
@@ -597,12 +612,16 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         # whole-dim random perm gathers are catastrophic on TPU (the
         # 13-site Rashba half-cut ran 164 ms/matvec wrapped vs 5 ms
         # unwrapped); the spectrum is basis-independent.
+        if v0 is not None:
+            v0 = np.asarray(v0)[np.asarray(ham.perm)]
+            if ham.sign is not None:
+                v0 = v0 * np.asarray(ham.sign)
         evals, vecs, info = lowest_states(
             ham.inner, num_states=num_states, seed=seed,
             max_steps=max_steps, tol=tol,
             krylov_budget_bytes=krylov_budget_bytes, reorth=reorth,
             return_info=True, dense_fallback_dim=dense_fallback_dim,
-            strict=strict, refine=refine)
+            strict=strict, refine=refine, v0=v0)
         vecs = np.asarray(vecs)
         if ham.sign is not None:
             vecs = vecs * np.asarray(ham.sign)[None, :]
@@ -616,7 +635,8 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
     itemsize = np.dtype(dtype).itemsize
     if min(dim, max_steps) * dim * itemsize > krylov_budget_bytes:
         evals, vecs = lowest_states_plain(
-            ham, num_states=num_states, seed=seed, max_steps=max_steps)
+            ham, num_states=num_states, seed=seed, max_steps=max_steps,
+            v0=v0)
         if refine:
             evals = _maybe_refine(ham, evals, vecs)
         # the plain path has no stored basis to estimate a residual
@@ -624,7 +644,11 @@ def lowest_states(ham, num_states: int = 1, seed: int = 7239443,
         return ret(evals, vecs, SolveInfo(True, float("nan"),
                                           min(dim, max_steps)))
 
-    v0 = random_start_vector(dim, seed, dtype)
+    if v0 is None:
+        v0 = random_start_vector(dim, seed, dtype)
+    else:
+        v0 = jnp.asarray(v0, dtype)
+        v0 = v0 / jnp.linalg.norm(v0)
     steps = int(min(dim, max_steps))
     if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
         tol = max(tol, 1e-6)

@@ -114,6 +114,101 @@ def _dense_to_ell_host(m, tol=0.0):
     return cols, vals
 
 
+def _blockkron_restricted_rows(bk, reps):
+    """Representative ROWS of a BlockKronHamiltonian in INNER (block)
+    order: (cols (n, K), vals (n, K), diag (n,)) with inner column
+    indices.  Every contribution — per-block row/col operators, dense
+    CrossTerms (incl. Hermitian partners), PermCrossTerm channels — is
+    read off the factor structure; nothing dim x K is built."""
+    from lanczosplusplus_tpu.utils.transfer import to_host as _th
+
+    shapes = bk.shapes
+    sizes = np.array([r * c for (r, c) in shapes], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    reps = np.asarray(reps)
+    blk = np.searchsorted(offs, reps, side="right") - 1
+    cplx = np.iscomplexobj(np.zeros(0, np.dtype(bk.dtype)))
+    vdt = np.complex128 if cplx else np.float64
+    n = reps.shape[0]
+    diag_out = np.zeros(n, vdt)
+    chunks = [None] * n  # per-rep (cols, vals) 1-D arrays
+
+    # index cross terms by block
+    pc_by_dst = {}
+    for t in bk.perm_cross:
+        pc_by_dst.setdefault(t.dst, []).append(t)
+    cr_by_dst = {}
+    cr_by_src = {}
+    for t in bk.cross:
+        cr_by_dst.setdefault(t.dst, []).append(t)
+        if t.add_hc:
+            cr_by_src.setdefault(t.src, []).append(t)
+
+    for b in np.unique(blk):
+        sel = np.nonzero(blk == b)[0]
+        R, C = shapes[b]
+        r, c = np.divmod(reps[sel] - offs[b], C)
+        diag_out[sel] = _th(bk.diag[b]).astype(vdt)[r, c]
+        cs, vs = [], []
+        if bk.row_ops[b] is not None:
+            rc, rv = _dense_to_ell_host(_th(bk.row_ops[b]))
+            cs.append(offs[b] + rc[r] * C + c[:, None])
+            vs.append(rv[r].astype(vdt))
+        if bk.col_ops[b] is not None:
+            cc, cv = _dense_to_ell_host(_th(bk.col_ops[b]))
+            cs.append(offs[b] + (r * C)[:, None] + cc[c])
+            vs.append(cv[c].astype(vdt))
+        for t in pc_by_dst.get(int(b), ()):
+            Cs = shapes[t.src][1]
+            rs = _th(t.row_src)
+            ra = _th(t.row_amp).astype(vdt)
+            csrc = _th(t.col_src)
+            ca = _th(t.col_amp).astype(vdt)
+            for k in range(rs.shape[0]):
+                cs.append((offs[t.src] + rs[k][r].astype(np.int64) * Cs
+                           + csrc[k][c].astype(np.int64))[:, None])
+                vs.append((ra[k][r] * ca[k][c])[:, None])
+        for t in cr_by_dst.get(int(b), ()):
+            Cs = shapes[t.src][1]
+            left = _th(t.left)
+            right = _th(t.right)
+            for k in range(left.shape[0]):
+                lc, lv = _dense_to_ell_host(left[k])
+                rc2, rv2 = _dense_to_ell_host(right[k])
+                cs.append((offs[t.src]
+                           + lc[r][:, :, None] * Cs
+                           + rc2[c][:, None, :]).reshape(len(sel), -1))
+                vs.append((lv[r][:, :, None].astype(vdt)
+                           * rv2[c][:, None, :]).reshape(len(sel), -1))
+        for t in cr_by_src.get(int(b), ()):
+            # Hermitian partner: H[src (r, c), dst (o, d)] =
+            # sum_k conj(left[k][o, r]) conj(right[k][d, c])
+            Cd = shapes[t.dst][1]
+            left = _th(t.left)
+            right = _th(t.right)
+            for k in range(left.shape[0]):
+                lc, lv = _dense_to_ell_host(np.conj(left[k]).T)
+                rc2, rv2 = _dense_to_ell_host(np.conj(right[k]).T)
+                cs.append((offs[t.dst]
+                           + lc[r][:, :, None] * Cd
+                           + rc2[c][:, None, :]).reshape(len(sel), -1))
+                vs.append((lv[r][:, :, None].astype(vdt)
+                           * rv2[c][:, None, :]).reshape(len(sel), -1))
+        gc = np.concatenate(cs, axis=1) if cs else \
+            np.zeros((len(sel), 1), np.int64)
+        gv = np.concatenate(vs, axis=1) if vs else \
+            np.zeros((len(sel), 1), vdt)
+        for i, idx in enumerate(sel):
+            chunks[idx] = (gc[i], gv[i])
+    K = max(ch[0].shape[0] for ch in chunks)
+    cols = np.zeros((n, K), np.int64)
+    vals = np.zeros((n, K), vdt)
+    for i, (gc, gv) in enumerate(chunks):
+        cols[i, :gc.shape[0]] = gc
+        vals[i, :gv.shape[0]] = gv
+    return cols, vals, diag_out
+
+
 def _restricted_rows(ham, reps):
     """(cols (nb, K), vals (nb, K), diag (nb,)) of the FLAT Hamiltonian
     at the representative rows only, assembled straight from the
@@ -122,10 +217,28 @@ def _restricted_rows(ham, reps):
     CRS then conjugates, TranslationSymmetry.h:251-268).
 
     Supported forms: the flat Hamiltonian pytree (diag + generic ELL +
-    Kronecker spin factors, expanded per-rep) and the factored Kitaev
-    half-cut (hl/hr/p,q rows through per-matrix host ELLs).  Other
-    forms fall back to flatten_to_ell row slicing."""
+    Kronecker spin factors, expanded per-rep), the factored Kitaev
+    half-cut (hl/hr/p,q rows through per-matrix host ELLs), and the
+    BlockKron/Permuted half-cut factorizations (t-J, Rashba,
+    Heisenberg-factored, FeAs spin-orbit) via
+    `_blockkron_restricted_rows`.  Other forms fall back to
+    flatten_to_ell row slicing."""
     reps = np.asarray(reps)
+    if hasattr(ham, "inner") and hasattr(ham, "perm"):
+        # PermutedHamiltonian: row f of H_flat is row inv[f] of the
+        # inner block form with columns mapped through perm and the
+        # optional Jordan-Wigner wrap sign applied on both sides
+        from lanczosplusplus_tpu.utils.transfer import to_host as _th
+        inv = _th(ham.inv).astype(np.int64)
+        perm = _th(ham.perm).astype(np.int64)
+        p = inv[reps]
+        cols_i, vals, diag = _blockkron_restricted_rows(ham.inner, p)
+        if ham.sign is not None:
+            s = _th(ham.sign)
+            vals = vals * s[p][:, None] * s[cols_i]
+        return perm[cols_i], vals, diag
+    if hasattr(ham, "shapes") and hasattr(ham, "perm_cross"):
+        return _blockkron_restricted_rows(ham, reps)
     if hasattr(ham, "hr_t"):            # FactoredKitaevHamiltonian
         dl, dr = ham.diag2d.shape
         a, b = np.divmod(reps, dr)
@@ -214,6 +327,19 @@ class _StatePermutation:
             new = _permute_word(basis.words, perm)
             self.tgt = basis.rank(new)
             self.sign = np.ones(basis.size)
+        elif hasattr(basis, "blocks") and hasattr(basis, "ne"):
+            # Rashba total-N union basis: per-state (up, dn) words via
+            # the union tables, ranked back through the union layout
+            from lanczosplusplus_tpu.models.rashba_halfcut import (
+                _union_tables, _union_rank)
+            upw, dnw = _union_tables(basis)
+            new_up = _permute_word(upw, perm)
+            new_dn = _permute_word(dnw, perm)
+            s_up = _permutation_parity_sign(upw, perm, fermionic)
+            s_dn = _permutation_parity_sign(dnw, perm, fermionic)
+            ok = np.ones(basis.size, bool)
+            self.tgt = _union_rank(basis, new_up, new_dn, ok)
+            self.sign = s_up * s_dn
         else:
             raise ValueError("symmetry: unsupported basis")
 
@@ -394,15 +520,29 @@ def _symmetry_ham(model, basis, dtype):
     """The cheapest Hamiltonian form for row-restricted block assembly.
     Kitaev's flat gather ELL is O(2^n x K) to build — its factored
     half-cut form feeds _restricted_rows directly (and its matvec
-    serves the commutation probe); every other model's flat pytree
-    already keeps Kronecker factors unexpanded."""
-    if type(model).__name__ == "KitaevModel":
-        try:
+    serves the commutation probe); the t-J and Rashba half-cut
+    BlockKron forms likewise feed `_blockkron_restricted_rows`, so
+    those sectors never materialize the flat ELL either (round-5
+    VERDICT item 2a); every other model's flat pytree already keeps
+    Kronecker factors unexpanded."""
+    name = type(model).__name__
+    try:
+        if name == "KitaevModel":
             from lanczosplusplus_tpu.models.kitaev_factored import \
                 build_factored_kitaev
             return build_factored_kitaev(model, basis, dtype=dtype)
-        except NotImplementedError:
-            pass
+        if name == "TjMultiOrbModel":
+            from lanczosplusplus_tpu.models.tj_factored import \
+                build_factored_tj
+            ham = build_factored_tj(model, basis, dtype=dtype)
+            if ham is not None:
+                return ham
+        if name == "RashbaSOCModel":
+            from lanczosplusplus_tpu.models.rashba_halfcut import \
+                build_halfcut_rashba
+            return build_halfcut_rashba(model, basis, dtype=dtype)
+    except NotImplementedError:
+        pass
     return model.hamiltonian(basis, dtype=dtype)
 
 

@@ -110,6 +110,86 @@ def test_engine_with_translation_symmetry():
     assert r < 1e-8
 
 
+TJ = """
+TotalNumberOfSites=6
+NumberOfTerms=4
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.3
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.0
+Model=TjMultiOrb
+Orbitals=1
+SolverOptions=none
+TargetElectronsUp=2
+TargetElectronsDown=2
+IsPeriodicX=1
+"""
+
+RASHBA = """
+TotalNumberOfSites=6
+NumberOfTerms=2
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 -1.0
+DegreesOfFreedom=1
+GeometryKind=chain
+GeometryOptions=ConstantValues
+Connectors 1 0.5
+Model=HubbardOneBandRashbaSOC
+hubbardU 6 4 4 4 4 4 4
+potentialV 12 0 0 0 0 0 0 0 0 0 0 0 0
+SolverOptions=none
+TargetElectronsTotal=5
+IsPeriodicX=1
+"""
+
+
+def test_translation_tj_spectrum_from_factored_rows():
+    """t-J momentum blocks assembled from the BlockKron half-cut's
+    restricted rows (no flatten_to_ell) reproduce the full spectrum
+    (round-5 VERDICT item 2a)."""
+    inp = parse_input(TJ)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    sym = TranslationSymmetry(basis, geom, model, fermionic=True)
+    # the symmetry Hamiltonian must be the factored form (the point of
+    # the round-5 extension), not a flat ELL
+    assert hasattr(sym._ham, "inner") or hasattr(sym._ham, "shapes")
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(np.asarray(
+        model.hamiltonian(basis, dtype=np.float64).to_dense()))
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-9)
+
+
+def test_translation_rashba_spectrum_from_factored_rows():
+    """Rashba total-N momentum blocks from the half-cut BlockKron
+    restricted rows (incl. the PermutedHamiltonian JW wrap sign)."""
+    inp = parse_input(RASHBA)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis(("ne", 5))
+    sym = TranslationSymmetry(basis, geom, model, fermionic=True)
+    assert hasattr(sym._ham, "inner")
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(np.asarray(
+        model.hamiltonian(basis, dtype=np.float64).to_dense()))
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-8)
+
+
 def test_engine_symmetry_solve_info():
     """The symmetry path must expose the same convergence honesty as
     the flat/factored paths: solve_info set, logged, and reflecting a

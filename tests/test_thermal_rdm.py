@@ -157,7 +157,7 @@ def test_grand_canonical_ftlm_estimator_tracks_exact():
     gc = GrandCanonical(model, nsite=4)
     betas = [0.5, 2.0]
     gf = GrandCanonicalFTLM(model, nsite=4, beta_grid=betas,
-                            dense_cutoff=8, num_vectors=32, steps=36)
+                            dense_cutoff=8, num_vectors=64, steps=36)
     for beta in betas:
         for mu in (0.0, 1.0):
             assert gf.energy(beta, mu) == pytest.approx(
