@@ -172,6 +172,8 @@ class Engine:
         dense-fallback block solve previously reported nothing)."""
         from lanczosplusplus_tpu.symmetry import build_symmetry
 
+        if self._try_projected_translation(inp, nstates):
+            return
         fermionic = getattr(self.model, "is_fermionic", True)
         sym = build_symmetry(inp, self.basis, self.model.geometry,
                              self.model, fermionic=fermionic)
@@ -202,6 +204,72 @@ class Engine:
         self._energies = evals
         self._vectors = [sym.transform(_to_host(v), sector)
                          for v in vecs]
+
+    def _try_projected_translation(self, inp, nstates) -> bool:
+        """Momentum sectors via projected Lanczos in the FULL space
+        (symmetry/projected.py) when the basis index is the bit word
+        and translation is the +1 cyclic site shift (Kitaev chain):
+        on accelerators the assembled k-blocks are random-column ELLs
+        — the measured gather cliff — while the projector is pure
+        reshape-transposes, so each sector solves at factored-matvec
+        speed.  Returns False (→ orbit-block path) when out of scope.
+        CPU runs keep the block path unless SolverOptions=projected
+        asks for this one (the blocks are fast on CPU and are the
+        reference-shaped algorithm)."""
+        import jax
+
+        if inp.integer("UseTranslationSymmetry", default=0) != 1:
+            return False
+        if inp.integer("UseReflectionSymmetry", default=0):
+            return False
+        if jax.default_backend() == "cpu" \
+                and "projected" not in inp.solver_options():
+            return False
+        if type(self.model).__name__ != "KitaevModel":
+            return False
+        n = self.model.geometry.number_of_sites()
+        if self.basis.size != (1 << n):
+            return False
+        try:
+            perm = [self.model.geometry.translate(s, 0, 1)
+                    for s in range(n)]
+        except Exception:
+            return False
+        if perm != [(s + 1) % n for s in range(n)]:
+            return False
+        try:
+            from lanczosplusplus_tpu.models.kitaev_factored import \
+                build_factored_kitaev
+            ham = build_factored_kitaev(self.model, self.basis,
+                                        dtype=self.config.scalar_dtype)
+        except NotImplementedError:
+            return False
+        from lanczosplusplus_tpu.symmetry.projected import \
+            ProjectedTranslationSolver
+        proj = ProjectedTranslationSolver(ham, n)
+        best = None
+        for s in range(proj.sectors()):
+            evals, vecs, info = proj.solve_sector(
+                s, num_states=nstates,
+                max_steps=self.config.lanczos_steps,
+                seed=self.config.seed)
+            if not info.converged:
+                self.progress(
+                    f"WARNING: momentum sector k={proj.momentum(s)} "
+                    f"unconverged (relative residual "
+                    f"{info.residual:.3e})")
+            if best is None or evals[0] < best[0][0]:
+                best = (evals, vecs, s, info)
+        evals, vecs, sector, info = best
+        self._log_solve(info)
+        self.solve_sector = proj.momentum(sector)
+        self.projected_purity = proj.purity(sector, vecs[0])
+        self.progress(
+            f"projected translation: min-k sector k={self.solve_sector}"
+            f" purity={self.projected_purity:.6f}")
+        self._energies = evals
+        self._vectors = [_to_host(v) for v in vecs]
+        return True
 
     def energies(self, i: int = 0) -> float:
         return float(self._energies[i])

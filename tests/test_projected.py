@@ -80,6 +80,38 @@ def test_projected_sector_energies_match_blocks():
         assert proj.purity(s, vecs[0]) == pytest.approx(1.0, abs=1e-8)
 
 
+def test_engine_projected_translation_dispatch():
+    """Engine routes Kitaev + UseTranslationSymmetry=1 through the
+    projected solver (SolverOptions=projected forces it on CPU) and
+    reports solve_info, sector and purity."""
+    from lanczosplusplus_tpu.engine import Engine
+
+    n = 8
+    term = ("DegreesOfFreedom=1\nGeometryKind=chain\n"
+            "GeometryOptions=ConstantValues\nConnectors 1 {v}\n")
+    text = (f"TotalNumberOfSites={n}\nNumberOfTerms=3\n"
+            + term.format(v=1.1) + term.format(v=0.7)
+            + term.format(v=0.9)
+            + "Model=Kitaev\nSolverOptions=projected\nIsPeriodicX=1\n"
+            + "UseTranslationSymmetry=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    eng = Engine(model, inp)
+    inp2 = parse_input(text.replace("UseTranslationSymmetry=1\n", "")
+                       .replace("SolverOptions=projected",
+                                "SolverOptions=none"))
+    eng2 = Engine(build_model(inp2, Geometry(inp2)), inp2)
+    assert eng.ground_energy == pytest.approx(eng2.ground_energy,
+                                              abs=1e-9)
+    assert eng.solve_info is not None
+    assert eng.projected_purity == pytest.approx(1.0, abs=1e-8)
+    # eigenvector solves the full H
+    v = np.asarray(eng.eigenvector(0))
+    full = np.asarray(eng2.hamiltonian.to_dense())
+    r = np.linalg.norm(full @ v - eng.ground_energy * v)
+    assert r < 1e-7
+
+
 def test_projected_min_k_equals_unsymmetrized():
     n = 10
     inp, geom, model, basis = _kitaev(n)

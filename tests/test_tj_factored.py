@@ -145,6 +145,34 @@ def test_factored_multiorbital_ground_state():
     assert e_fact[0] == pytest.approx(e_flat[0], abs=1e-9)
 
 
+def test_tier_layouts_match_untired():
+    """All tier layouts (fine-grained pairs, aspect classes, uniform)
+    apply the identical operator (round-5 kernel-batching work)."""
+    import dataclasses
+    from lanczosplusplus_tpu.core.blockkron import (
+        tierize, tierize_classes, tierize_uniform)
+
+    inp = parse_input(tj_input(8, 3, 3, potentials=True))
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((3, 3))
+    fact = build_factored_tj(model, basis)
+    bk0 = dataclasses.replace(fact.inner, tiers=None, diag_t=(),
+                              row_t=(), col_t=())
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(bk0.dim)
+    y0 = np.asarray(bk0.matvec(jnp.asarray(x)))
+    xk = jnp.asarray(rng.standard_normal((3, bk0.dim)))
+    z0 = np.asarray(bk0.matmat_t(xk))
+    for tier_fn in (tierize, lambda b: tierize_classes(b, 1e9),
+                    lambda b: tierize_uniform(b, max_blowup=1e9)):
+        bkt = tier_fn(bk0)
+        assert bkt.tiers, tier_fn
+        np.testing.assert_allclose(
+            np.asarray(bkt.matvec(jnp.asarray(x))), y0, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(bkt.matmat_t(xk)), z0, atol=1e-10)
+
+
 def test_factored_out_of_scope_returns_none():
     """JHundInfinity's reinterpretAndTruncate rotation stays on the
     flat path."""
