@@ -39,6 +39,51 @@ def _device_backend_healthy(timeout_s: int = 180) -> bool:
     return False
 
 
+_PROBE = r"""
+import time, jax, jax.numpy as jnp
+key = jax.random.PRNGKey(1)
+A = jax.random.normal(key, (4096, 4096), jnp.float32) * 0.01
+@jax.jit
+def many(x):
+    def step(v, _):
+        v = v @ A
+        return v / jnp.linalg.norm(v), None
+    out, _ = jax.lax.scan(step, x, None, length=24)
+    return out
+y = many(A); jax.block_until_ready(y); _ = float(y[0,0])
+t0 = time.perf_counter(); y = many(y); jax.block_until_ready(y)
+_ = float(y[0,0])
+print("TFPS", 2*4096**3/((time.perf_counter()-t0)/24)/1e12)
+"""
+
+
+def _wait_healthy_window(max_wait_s=1800, threshold_tf=20.0):
+    """The relay-backed chip swings ~50x in throughput on minute
+    timescales (round-5 finding: 46 -> 0.6 TF/s with nothing running
+    in between).  Starting the bench inside a degraded window wastes
+    the whole run, so poll a cheap subprocess GEMM probe until a
+    healthy reading (or give up after max_wait_s and start anyway —
+    the per-section gates still catch it)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, timeout=300)
+            tf = 0.0
+            for ln in r.stdout.decode(errors="replace").splitlines():
+                if ln.startswith("TFPS"):
+                    tf = float(ln.split()[1])
+            print(f"bench: chip probe {tf:.1f} TF/s", file=sys.stderr)
+            if tf >= threshold_tf:
+                return True
+        except Exception as e:
+            print(f"bench: probe failed: {e}", file=sys.stderr)
+        time.sleep(90)
+    print("bench: no healthy window found; starting anyway",
+          file=sys.stderr)
+    return False
+
+
 def _run_inner(env, timeout_s):
     """Run this script in --inner mode and return its JSON line, or
     None on hang/crash.  The accelerator can wedge mid-run even after a
@@ -73,6 +118,7 @@ if __name__ == "__main__" and "--inner" not in sys.argv:
     inner_budget = int(os.environ.get("LPP_BENCH_TIMEOUT_S", 5400))
     if want_device:
         if _device_backend_healthy():
+            _wait_healthy_window()
             line = _run_inner(env, inner_budget)
             # honesty gate (VERDICT r3 item 2): a degraded chip run is
             # re-run once; keep the better of the two
@@ -83,6 +129,7 @@ if __name__ == "__main__" and "--inner" not in sys.argv:
             if d and d.get("detail", {}).get("degraded"):
                 print("bench: degraded run; retrying once",
                       file=sys.stderr)
+                _wait_healthy_window()
                 line2 = _run_inner(env, inner_budget)
                 try:
                     d2 = json.loads(line2) if line2 else None
@@ -280,12 +327,14 @@ def _host_f64_oracle(bk_ham, k=1):
     return float(np.min(vals))
 
 
-def build_feas_p33(nsite, nup, ndn, dtype=np.float32):
+def build_feas_p33(nsite, nup, ndn, dtype=np.float32, form="flat"):
     """FeAs 2-orbital INT_PAPER33 chain sector — the one production
     Hamiltonian class whose spin-coupled interaction terms (U2
     transverse + U3 pair hopping) live in a generic ELL remainder on
     top of the Kronecker hopping factors (reference hot loop:
-    src/Models/FeBasedSc/FeBasedSc.h:52-116)."""
+    src/Models/FeBasedSc/FeBasedSc.h:52-116).  form="blockkron" builds
+    the round-5 single-block BlockKron alternative: dense one-spin hop
+    GEMMs + exact (dn ⊗ up) channels instead of the flat ELL."""
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
     from lanczosplusplus_tpu.models import build_model
@@ -303,6 +352,8 @@ def build_feas_p33(nsite, nup, ndn, dtype=np.float32):
     inp = parse_input(text)
     model = build_model(inp, Geometry(inp))
     basis = model.create_basis((nup, ndn))
+    if form == "blockkron":
+        return model.block_kron_hamiltonian(basis, dtype=dtype)
     return model.hamiltonian(basis, dtype=dtype)
 
 
@@ -540,6 +591,14 @@ def main():
     fe_kron = _dc.replace(fe_ham, ell=None)
     dt_fe_kron = time_eager(fe_kron)
     del fe_ham, fe_kron
+    gc.collect()
+    # A/B: the round-5 single-block BlockKron form (dense one-spin hop
+    # GEMMs + exact (dn ⊗ up) remainder channels, no flat ELL)
+    fe_bk = build_feas_p33(fe_nsite, fe_nsite // 2, fe_nsite // 2,
+                           form="blockkron")
+    dt_fe_bk = time_eager(fe_bk)
+    dt_fe_bk_scan = _time_scanned(fe_bk)
+    del fe_bk
     gc.collect()
 
     # -- translation symmetry ON the chip: momentum-projected Lanczos
@@ -817,6 +876,9 @@ IsPeriodicX=1
             "feas_ms_per_matvec_scanned": round(dt_fe_scan * 1e3, 3),
             "feas_ms_kron_only": round(dt_fe_kron * 1e3, 3),
             "feas_ell_share": round(1 - dt_fe_kron / dt_fe, 3),
+            "feas_blockkron_ms": round(dt_fe_bk * 1e3, 3),
+            "feas_blockkron_ms_scanned":
+                round(dt_fe_bk_scan * 1e3, 3),
             **sym,
             "e0_u0_refined_rel_err": float(f"{u0_rel_err:.3g}"),
             "e0_heisenberg12_refined_rel_err":

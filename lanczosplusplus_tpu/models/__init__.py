@@ -44,6 +44,18 @@ def factored_hamiltonian_or_none(model, basis, parts, dtype, warn=None,
             from lanczosplusplus_tpu.models.feas_spinorbit_factored import \
                 build_factored_feas_spinorbit
             return build_factored_feas_spinorbit(model, basis, dtype=dtype)
+        if name == "FeBasedScModel":
+            # single-block BlockKron: dense one-spin hop GEMMs + exact
+            # (dn ⊗ up) channels for the interaction remainder (the
+            # flat ELL's whole-dim gathers are the catastrophic layout
+            # on TPU).  Dense one-spin operators cap the reachable
+            # sector size; past the cap the flat path stays the answer
+            szu, szd = basis.up.size, basis.down.size
+            if szu * szu + szd * szd > (1 << 26):
+                raise NotImplementedError(
+                    f"one-spin dims ({szu}, {szd}) too large for the "
+                    "dense block-Kronecker factors")
+            return model.block_kron_hamiltonian(basis, dtype=dtype)
     except NotImplementedError as e:
         if warn is not None:
             warn(f"SolverOptions=factored: no factored form for "

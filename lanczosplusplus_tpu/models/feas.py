@@ -567,6 +567,173 @@ class FeBasedScModel:
             diag=_to_device(self.diagonal(basis).astype(dtype)),
             ell=ell, factorized=factorized, spin_shape=(szd, szu))
 
+    def block_kron_hamiltonian(self, basis: FeAsBasis,
+                               dtype=np.float64):
+        """Single-block BlockKron form of the sector Hamiltonian: the
+        spin-conserving hops as DENSE one-spin operators (two MXU
+        GEMMs on the (size_down, size_up) state block) and every
+        interaction-remainder slot — U2 transverse, U3 pair hopping,
+        cross-site J_PM, the INT_IMPURITY/INT_KSPACE quartic moves —
+        decomposed into its exact (down-op ⊗ up-op) partial-
+        permutation channels (PermCrossTerm row+column gathers on the
+        2-D state block, the fast gather layout; the flat ELL's
+        whole-dim 1-D gathers are the measured catastrophic one).
+        Every slot of `hamiltonian`'s ELL is a sum of ≤2 such products
+        (the c1/c2 branches are disjoint), so this form is EXACT.  The
+        block layout IS the flat basis order (index = iu + idn*szu),
+        so no PermutedHamiltonian wrap is needed.  Reference hot loop:
+        src/Models/FeBasedSc/FeBasedSc.h:52-116."""
+        from lanczosplusplus_tpu.core.blockkron import (
+            BlockKronHamiltonian, make_perm_cross)
+
+        n = self.geometry.number_of_sites()
+        o = self.norb
+        nb = n * o
+        szu, szd = basis.up.size, basis.down.size
+        upw, dnw = basis.up.words, basis.down.words
+        iu = np.arange(szu, dtype=np.int64)
+        idn = np.arange(szd, dtype=np.int64)
+        occ_u = {a: bits.get_bit(upw, a) for a in range(nb)}
+        occ_d = {a: bits.get_bit(dnw, a) for a in range(nb)}
+        cplx = np.iscomplexobj(np.zeros(0, dtype))
+        fdt = np.complex128 if cplx else np.float64
+
+        def site_orb(a):
+            return a // o, a % o
+
+        # dense one-spin hop operators
+        h_up = np.zeros((szu, szu), fdt)
+        h_dn = np.zeros((szd, szd), fdt)
+        for (a, b) in [(a, b) for a in range(nb)
+                       for b in range(a + 1, nb)
+                       if self.hop[a, b] != 0]:
+            i, orb = site_orb(a)
+            j, orb2 = site_orb(b)
+            h = self.hop[a, b]
+            flip = WORD((1 << a) | (1 << b))
+            for (wrd, occ, mat, onespin) in (
+                    (upw, occ_u, h_up, basis.up),
+                    (dnw, occ_d, h_dn, basis.down)):
+                one = (occ[a] + occ[b]) == 1
+                extra = np.where(occ[a] == 1, -1, 1)
+                sgn = _one_spin_dosign(wrd, i, orb, j, orb2, o)
+                amp = np.where(one, h * extra * sgn, 0)
+                tgt = onespin.rank(wrd ^ flip)
+                rows = np.arange(mat.shape[0])
+                np.add.at(mat, (rows[one], tgt[one]), amp[one])
+
+        # interaction channels: (dn_src, dn_amp, up_src, up_amp)
+        chans = []
+
+        def add(dn_cond, dn_amp, dn_t, up_cond, up_amp, up_t):
+            chans.append((
+                np.where(dn_cond, dn_t, 0).astype(np.int64),
+                np.where(dn_cond, dn_amp, 0),
+                np.where(up_cond, up_t, 0).astype(np.int64),
+                np.where(up_cond, up_amp, 0)))
+
+        is_p33 = self.mode == "INT_PAPER33"
+        u2_pairs = [(i * o + o1, i * o + o2) for i in range(n)
+                    for o1 in range(o) for o2 in range(o1 + 1, o)
+                    if is_p33 and (self.u[2] != 0 or self.u[3] != 0)]
+        for (a, b) in u2_pairs:
+            i, o1 = site_orb(a)
+            _, o2 = site_orb(b)
+            flip = WORD((1 << a) | (1 << b))
+            sgn_u = _one_spin_dosign(upw, i, o1, i, o2, o)
+            sgn_d = _one_spin_dosign(dnw, i, o1, i, o2, o)
+            up_t = basis.up.rank(upw ^ flip)
+            dn_t = basis.down.rank(dnw ^ flip)
+            u_c1 = (occ_u[b] == 1) & (occ_u[a] == 0)
+            u_c2 = (occ_u[a] == 1) & (occ_u[b] == 0)
+            d_c1 = (occ_d[a] == 1) & (occ_d[b] == 0)
+            d_c2 = (occ_d[b] == 1) & (occ_d[a] == 0)
+            if self.u[2] != 0:
+                add(d_c1, 0.5 * self.u[2] * sgn_d, dn_t,
+                    u_c1, sgn_u, up_t)
+                add(d_c2, 0.5 * self.u[2] * sgn_d, dn_t,
+                    u_c2, sgn_u, up_t)
+            if self.u[3] != 0:
+                d_p1 = (occ_d[b] == 1) & (occ_d[a] == 0)
+                d_p2 = (occ_d[a] == 1) & (occ_d[b] == 0)
+                add(d_p1, -self.u[3] * sgn_d, dn_t, u_c1, sgn_u, up_t)
+                add(d_p2, -self.u[3] * sgn_d, dn_t, u_c2, sgn_u, up_t)
+        if self.mode == "INT_IMPURITY" and self.u[3] != 0:
+            quartics = []
+            for o1 in range(o):
+                for o2 in range(o):
+                    if o1 != o2:
+                        quartics.append((o1, o2, o2, o1, self.u[3]))
+                        quartics.append((o1, o2, o1, o2, self.u[3]))
+            for (o1, o2, o3, o4, coef) in quartics:
+                flip_u = WORD((1 << o1) | (1 << o2))
+                flip_d = WORD((1 << o3) | (1 << o4))
+                ok_u = (occ_u[o2] == 1) & (occ_u[o1] == 0)
+                ok_d = (occ_d[o4] == 1) & (occ_d[o3] == 0)
+                sgn_u = _one_spin_dosign(upw, 0, o1, 0, o2, o)
+                sgn_d = _one_spin_dosign(dnw, 0, o3, 0, o4, o)
+                add(ok_d, coef * sgn_d, basis.down.rank(dnw ^ flip_d),
+                    ok_u, sgn_u, basis.up.rank(upw ^ flip_u))
+        if self.mode == "INT_KSPACE" and self.u[0] != 0:
+            for o1 in range(o):
+                for o2 in range(o):
+                    if o1 == o2:
+                        continue
+                    for o3 in range(o):
+                        o4 = (o3 + o1 - o2) % o
+                        if o3 == o4:
+                            continue
+                        flip_u = WORD((1 << o1) | (1 << o2))
+                        flip_d = WORD((1 << o3) | (1 << o4))
+                        ok_u = (occ_u[o2] == 1) & (occ_u[o1] == 0)
+                        ok_d = (occ_d[o4] == 1) & (occ_d[o3] == 0)
+                        sgn_u = _one_spin_dosign(upw, 0, o1, 0, o2, o)
+                        sgn_d = _one_spin_dosign(dnw, 0, o3, 0, o4, o)
+                        add(ok_d, self.u[0] * sgn_d,
+                            basis.down.rank(dnw ^ flip_d),
+                            ok_u, sgn_u, basis.up.rank(upw ^ flip_u))
+        if is_p33 and np.any(self.jpm_site):
+            for i in range(n):
+                for j in range(i + 1, n):
+                    jv = self.jpm_site[i, j]
+                    if jv == 0:
+                        continue
+                    for o1 in range(o):
+                        for o2 in range(o):
+                            a, b = i * o + o1, j * o + o2
+                            flip = WORD((1 << a) | (1 << b))
+                            sgn_u = _one_spin_dosign(upw, i, o1, j,
+                                                     o2, o)
+                            sgn_d = _one_spin_dosign(dnw, i, o1, j,
+                                                     o2, o)
+                            up_t = basis.up.rank(upw ^ flip)
+                            dn_t = basis.down.rank(dnw ^ flip)
+                            u_c1 = (occ_u[b] == 1) & (occ_u[a] == 0)
+                            u_c2 = (occ_u[a] == 1) & (occ_u[b] == 0)
+                            d_c1 = (occ_d[a] == 1) & (occ_d[b] == 0)
+                            d_c2 = (occ_d[b] == 1) & (occ_d[a] == 0)
+                            add(d_c1, 0.5 * jv * sgn_d, dn_t,
+                                u_c1, sgn_u, up_t)
+                            add(d_c2, 0.5 * jv * sgn_d, dn_t,
+                                u_c2, sgn_u, up_t)
+
+        perm_cross = []
+        if chans:
+            nbch = len(chans)
+            row_src = np.stack([c[0] for c in chans])
+            row_amp = np.stack([c[1] for c in chans]).astype(fdt)
+            col_src = np.stack([c[2] for c in chans])
+            col_amp = np.stack([c[3] for c in chans]).astype(fdt)
+            perm_cross.append(make_perm_cross(
+                row_src, row_amp, col_src, col_amp, 0, 0, dtype))
+        diag2 = np.asarray(self.diagonal(basis)).reshape(szd, szu)
+        return BlockKronHamiltonian(
+            diag=(_to_device(diag2.astype(dtype)),),
+            row_ops=(_to_device(h_dn.astype(dtype)),),
+            col_ops=(_to_device(h_up.astype(dtype)),),
+            cross=(), shapes=((szd, szu),),
+            perm_cross=tuple(perm_cross))
+
     # -- operator maps ----------------------------------------------------
 
     def operator_map(self, op, site, spin, orb, src_basis: FeAsBasis,
