@@ -541,6 +541,16 @@ def _symmetry_ham(model, basis, dtype):
             from lanczosplusplus_tpu.models.rashba_halfcut import \
                 build_halfcut_rashba
             return build_halfcut_rashba(model, basis, dtype=dtype)
+        if name == "HeisenbergModel":
+            from lanczosplusplus_tpu.models.heisenberg_factored import \
+                FactoredHeisenbergChain
+            fact = FactoredHeisenbergChain(
+                model, basis.nsite, basis.sz_plus_const, dtype=dtype)
+            return fact.flat_ham(basis)
+        if name == "FeBasedScModel":
+            szu, szd = basis.up.size, basis.down.size
+            if szu * szu + szd * szd <= (1 << 26):
+                return model.block_kron_hamiltonian(basis, dtype=dtype)
     except NotImplementedError:
         pass
     return model.hamiltonian(basis, dtype=dtype)
