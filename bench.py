@@ -379,8 +379,45 @@ Connectors 1 {v}
     return build_factored_kitaev(model, basis, dtype=dtype)
 
 
+def _make_probe():
+    """Cheap in-process GEMM probe (TF/s) sampled at section
+    boundaries: the relay chip's throughput swings ~50x on minute
+    timescales, so the probe trace in `detail.chip_probe_tf` says
+    which sections ran in a healthy window."""
+    key = jax.random.PRNGKey(9)
+    A = jax.random.normal(key, (4096, 4096), jnp.float32) * 0.01
+
+    @jax.jit
+    def many(x):
+        def step(v, _):
+            v = v @ A
+            return v / jnp.linalg.norm(v), None
+        out, _ = jax.lax.scan(step, x, None, length=24)
+        return out
+
+    y = many(A)
+    y.block_until_ready()
+    _ = float(np.asarray(y)[0, 0])
+
+    def probe():
+        t0 = time.perf_counter()
+        yy = many(A)
+        yy.block_until_ready()
+        _ = float(np.asarray(yy)[0, 0])
+        return round(2 * 4096**3 / ((time.perf_counter() - t0) / 24)
+                     / 1e12, 1)
+    return probe
+
+
 def main():
     platform = jax.devices()[0].platform
+    probe_tf = []
+    if platform != "cpu":
+        _probe = _make_probe()
+        probe_tf.append(_probe())
+    else:
+        def _probe():
+            return 0.0
     nsite = 14 if platform != "cpu" else 10
     ham, basis = build_hamiltonian(nsite)
     ham = ham.densify_factors()
@@ -577,6 +614,8 @@ def main():
     del ra16
     gc.collect()
 
+    if platform != "cpu":
+        probe_tf.append(_probe())
     # -- FeAs 2-orbital INT_PAPER33 sector (VERDICT r4 item 6): the
     # production Hamiltonian class with a spin-coupled ELL remainder
     # on top of the Kronecker hopping factors --------------------------
@@ -756,6 +795,8 @@ IsPeriodicX=1
             correctness = {"onchip_correctness_error": str(e)}
         gc.collect()
 
+    if platform != "cpu":
+        probe_tf.append(_probe())
     # -- chip-health + honesty gate (VERDICT r3 item 2) ----------------
     # back-to-back HBM OOMs can leave the chip uniformly ~8x slow
     # (BASELINE.md).  Healthy requires (a) recheck drift <= 15% of the
@@ -891,6 +932,7 @@ IsPeriodicX=1
                                  if pallas_ms is not None else None),
             **{k: (float(f"{v:.3g}") if isinstance(v, float) else v)
                for k, v in correctness.items()},
+            "chip_probe_tf": probe_tf,
             "headline_measurements_ms":
                 [round(m * 1e3, 3) for m in measurements],
             "headline_recheck_ms": round(dt_recheck * 1e3, 3),
