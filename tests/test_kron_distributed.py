@@ -98,3 +98,35 @@ def test_kron_lowest_states_feas():
     dense = np.linalg.eigvalsh(ham.to_dense())
     e_dist, _ = kron.kron_lowest_states(ham, mesh, max_steps=150)
     assert e_dist[0] == pytest.approx(dense[0], abs=1e-9)
+
+
+def test_feas_blockkron_distributed_matvec():
+    """The round-5 FeAs single-block BlockKron distributes through
+    shard_blockkron (column-sharded when divisible, replicated
+    degenerately otherwise) with exact agreement."""
+    import jax.numpy as jnp
+    from lanczosplusplus_tpu.parallel.blockkron_dist import \
+        shard_blockkron
+
+    inp_text = (
+        "TotalNumberOfSites=4\nModel=FeAsBasedSc\nFeAsMode=INT_PAPER33\n"
+        "NumberOfTerms=1\nDegreesOfFreedom=2\nOrbitals=2\n"
+        "GeometryKind=chain\nGeometryOptions=ConstantValues\n"
+        "SolverOptions=none\n"
+        "hubbardU 4 4.0 3.0 -0.8 -0.4\nConnectors 2 2\n-1.0 0.2\n"
+        "0.2 -1.0\n"
+        "potentialV 16 " + " ".join(["0.3"] * 16) + "\n"
+        "TargetElectronsUp=2\nTargetElectronsDown=2\nIsPeriodicX=1\n")
+    inp = parse_input(inp_text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis((2, 2))
+    bk = model.block_kron_hamiltonian(basis, dtype=np.float64)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    sbk = shard_blockkron(bk, mesh)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(bk.dim)
+    xp = pmesh.sharded_vector(jnp.asarray(
+        np.concatenate([x, np.zeros(sbk.dim - bk.dim)])), mesh)
+    y = np.asarray(jax.jit(lambda h, v: h.matvec(v))(sbk, xp))
+    y_ref = np.asarray(bk.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y[:bk.dim], y_ref, atol=1e-10)

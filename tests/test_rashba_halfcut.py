@@ -139,3 +139,33 @@ def test_halfcut_eigenvector_in_flat_order():
     r = np.asarray(flat.matvec(jnp.asarray(np.asarray(v_h[0])))) \
         - float(e_h[0]) * np.asarray(v_h[0])
     assert np.linalg.norm(r) < 1e-9
+
+
+def test_col_dedup_groups_present():
+    """The hop/Rashba channel pairs of each crossing bond must share a
+    (col map, col amp) pair — the round-5 column-gather dedup that cut
+    the 13-site scanned matvec 26%.  A builder refactor that silently
+    loses the sharing would regress the hot loop."""
+    import numpy as np
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.rashba_halfcut import \
+        build_halfcut_rashba
+
+    term = ("DegreesOfFreedom=1\nGeometryKind=chain\n"
+            "GeometryOptions=ConstantValues\nConnectors 1 {v}\n")
+    text = ("TotalNumberOfSites=8\nNumberOfTerms=2\n"
+            + term.format(v=-1.0) + term.format(v=0.5)
+            + "Model=HubbardOneBandRashbaSOC\n"
+            + "hubbardU 8 " + " ".join(["4"] * 8) + "\n"
+            + "potentialV 16 " + " ".join(["0"] * 16) + "\n"
+            + "SolverOptions=none\nTargetElectronsTotal=8\n"
+            + "IsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(("ne", 8))
+    ham = build_halfcut_rashba(model, basis, dtype=np.float64)
+    nchan = sum(t.row_src.shape[0] for t in ham.inner.perm_cross)
+    ncolgroups = sum(len(t.col_groups) for t in ham.inner.perm_cross)
+    assert ncolgroups * 2 == nchan, (ncolgroups, nchan)
