@@ -290,11 +290,31 @@ def _restricted_rows(ham, reps):
             np.asarray(h.ell.vals)[reps], np.asarray(h.diag)[reps])
 
 
+def _bit_perm(perm, orbitals: int) -> np.ndarray:
+    """Expand a SITE permutation to the BIT permutation of a collated
+    multi-orbital word layout (bit = site*orbitals + orb): orbitals
+    ride along with their site, preserving within-site order."""
+    perm = np.asarray(perm)
+    if orbitals == 1:
+        return perm
+    out = np.empty(perm.shape[0] * orbitals, dtype=np.int64)
+    for s, t in enumerate(perm):
+        for orb in range(orbitals):
+            out[s * orbitals + orb] = int(t) * orbitals + orb
+    return out
+
+
 class _StatePermutation:
-    """Index map + sign of a site permutation on a two-word basis."""
+    """Index map + sign of a site permutation on a two-word basis.
+    Multi-orbital bases (FeAs, multi-orbital t-J: bit layout
+    site*orbitals + orb) expand the site permutation to the bit level,
+    so translation/reflection blocks work for them too (the reference
+    supports any basis through perfectIndex,
+    TranslationSymmetry.h:147-167)."""
 
     def __init__(self, basis, perm, fermionic=True):
         idx = np.arange(basis.size)
+        perm = _bit_perm(perm, getattr(basis, "orbitals", 1))
         if hasattr(basis, "up"):
             upw = basis.up.words
             dnw = basis.down.words

@@ -190,6 +190,33 @@ def test_translation_rashba_spectrum_from_factored_rows():
     np.testing.assert_allclose(union, np.sort(full), atol=1e-8)
 
 
+FEAS = ("TotalNumberOfSites=4\nModel=FeAsBasedSc\nFeAsMode=INT_PAPER33\n"
+        "NumberOfTerms=1\nDegreesOfFreedom=2\nOrbitals=2\n"
+        "GeometryKind=chain\nGeometryOptions=ConstantValues\n"
+        "SolverOptions=none\n"
+        "hubbardU 4 4.0 3.0 -0.8 -0.4\nConnectors 2 2\n-1.0 0.2\n"
+        "0.2 -1.0\n"
+        "potentialV 16 " + " ".join(["0.3"] * 16) + "\n"
+        "TargetElectronsUp=2\nTargetElectronsDown=2\nIsPeriodicX=1\n")
+
+
+def test_translation_feas_multiorbital_spectrum():
+    """Multi-orbital FeAs momentum blocks: the site permutation expands
+    to the bit level (orbitals ride with their site), and the blocks
+    assemble from the single-block BlockKron restricted rows
+    (round 5; reference supports any basis via perfectIndex)."""
+    inp = parse_input(FEAS)
+    geom = Geometry(inp)
+    model = build_model(inp, geom)
+    basis = model.create_basis((2, 2))
+    sym = TranslationSymmetry(basis, geom, model, fermionic=True)
+    assert hasattr(sym._ham, "shapes")   # BlockKron fed the assembly
+    union = block_spectrum_union(sym)
+    full = np.linalg.eigvalsh(np.asarray(
+        model.hamiltonian(basis, dtype=np.float64).to_dense()))
+    np.testing.assert_allclose(union, np.sort(full), atol=1e-8)
+
+
 def test_engine_symmetry_solve_info():
     """The symmetry path must expose the same convergence honesty as
     the flat/factored paths: solve_info set, logged, and reflecting a
