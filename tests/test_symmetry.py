@@ -217,6 +217,27 @@ def test_translation_feas_multiorbital_spectrum():
     np.testing.assert_allclose(union, np.sort(full), atol=1e-8)
 
 
+def test_reflection_feas_and_rashba_spectra():
+    """Reflection parity blocks for the multi-orbital FeAs and the
+    Rashba total-N union bases (round-5 _StatePermutation extensions)
+    reproduce the full spectra."""
+    for text, parts in (
+            (FEAS.replace("IsPeriodicX=1", "IsPeriodicX=0")
+             .replace("0.3 " * 15 + "0.3", "0 " * 15 + "0"),
+             (2, 2)),
+            (RASHBA.replace("IsPeriodicX=1", "IsPeriodicX=0"),
+             ("ne", 5))):
+        inp = parse_input(text)
+        geom = Geometry(inp)
+        model = build_model(inp, geom)
+        basis = model.create_basis(parts)
+        sym = ReflectionSymmetry(basis, geom, model, fermionic=True)
+        union = block_spectrum_union(sym)
+        full = np.linalg.eigvalsh(np.asarray(
+            model.hamiltonian(basis, dtype=np.float64).to_dense()))
+        np.testing.assert_allclose(union, np.sort(full), atol=1e-8)
+
+
 def test_engine_symmetry_solve_info():
     """The symmetry path must expose the same convergence honesty as
     the flat/factored paths: solve_info set, logged, and reflecting a
