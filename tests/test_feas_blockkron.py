@@ -64,6 +64,26 @@ def test_blockkron_complex_matches():
                                atol=1e-12)
 
 
+def test_factored_spectral_matches_flat():
+    """The whole spectral pipeline (N-1 sector rebuilt factored, CF
+    Lanczos on the BlockKron form) agrees with the flat path."""
+    from lanczosplusplus_tpu.engine import Engine
+
+    omegas = np.linspace(-4, 8, 25)
+    res = {}
+    base = P33.replace("TargetElectronsDown=3\n", "") + "TSPSites 2 0 1\n"
+    for so in ("none", "factored"):
+        text = P33.replace("SolverOptions=none",
+                           f"SolverOptions={so}") + "TSPSites 2 0 1\n"
+        inp = parse_input(text)
+        eng = Engine(build_model(inp, Geometry(inp)), inp)
+        coll, _ = eng.spectral_function("c", 0, 1, spin=0)
+        res[so] = coll.evaluate(omegas, 0.2)
+        assert eng.factored_fallback_reason is None
+    np.testing.assert_allclose(res["factored"], res["none"],
+                               atol=2e-6)
+
+
 def test_factored_dispatch_and_engine_solve():
     from lanczosplusplus_tpu.engine import Engine
     from lanczosplusplus_tpu.solver import lanczos as lz
