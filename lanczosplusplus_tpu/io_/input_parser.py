@@ -115,7 +115,7 @@ class InputData:
         "MatrixVectorStored", "twositedmrg", "fixLegacyBugs",
         # tpu-native extensions
         "useComplex", "factored", "reortho", "serialgf",
-        "ftlm", "ltlm", "bf16cross",
+        "ftlm", "ltlm", "bf16cross", "projected",
     }
 
     def solver_options(self) -> set:
