@@ -72,6 +72,59 @@ def kitaev_flagship(n: int):
         "k0_solve_s": round(t_solve, 2)}))
 
 
+def projected_flagship(n: int):
+    """Momentum-projected Lanczos over the full 2^n Kitaev chain
+    (symmetry/projected.py) — the TPU-native translation-sector path,
+    runnable here on CPU to document equivalence at non-toy dims
+    (per-k E0s, min-k vs unsymmetrized, winner purity)."""
+    from lanczosplusplus_tpu.io_.input_parser import parse_input
+    from lanczosplusplus_tpu.geometry import Geometry
+    from lanczosplusplus_tpu.models import build_model
+    from lanczosplusplus_tpu.models.kitaev_factored import \
+        build_factored_kitaev
+    from lanczosplusplus_tpu.symmetry.projected import \
+        ProjectedTranslationSolver
+    from lanczosplusplus_tpu.solver.lanczos import (
+        tridiagonalize_plain, tridiag_eigh, lowest_states)
+
+    term = ("DegreesOfFreedom=1\nGeometryKind=chain\n"
+            "GeometryOptions=ConstantValues\nConnectors 1 {v}\n")
+    text = (f"TotalNumberOfSites={n}\nNumberOfTerms=3\n"
+            + term.format(v=1.1) + term.format(v=0.7)
+            + term.format(v=0.9)
+            + "Model=Kitaev\nSolverOptions=none\nIsPeriodicX=1\n")
+    inp = parse_input(text)
+    model = build_model(inp, Geometry(inp))
+    basis = model.create_basis(None)
+    t0 = time.perf_counter()
+    fac = build_factored_kitaev(model, basis, dtype=np.float64)
+    proj = ProjectedTranslationSolver(fac, n)
+    t_build = time.perf_counter() - t0
+    e_plain, _ = lowest_states(fac, max_steps=200)
+    t0 = time.perf_counter()
+    e_ks = []
+    for s in range(proj.sectors()):
+        pk = proj.projected(s)
+        res = tridiagonalize_plain(pk, proj.start_vector(s), 160)
+        ev, _ = tridiag_eigh(res.alphas, res.betas)
+        e_ks.append(float(ev[0]))
+    t_ks = time.perf_counter() - t0
+    kwin = int(np.argmin(e_ks))
+    e_win, v_win, _ = proj.solve_sector(kwin, max_steps=200)
+    print(json.dumps({
+        "symmetry": "translation-projected", "model": "Kitaev",
+        "dim": basis.size, "sectors": proj.sectors(),
+        "e0_per_k": [round(e, 9) for e in e_ks],
+        "min_k": kwin,
+        "e0_min_k": float(e_win[0]),
+        "e0_plain": float(e_plain[0]),
+        "match": bool(abs(float(e_win[0]) - float(e_plain[0]))
+                      < 1e-7 * abs(float(e_plain[0]))),
+        "winner_purity": round(proj.purity(kwin, v_win[0]), 10),
+        "build_s": round(t_build, 2),
+        "all_sectors_solve_s": round(t_ks, 2)}))
+
+
 def main():
     from lanczosplusplus_tpu.io_.input_parser import parse_input
     from lanczosplusplus_tpu.geometry import Geometry
@@ -79,6 +132,12 @@ def main():
     from lanczosplusplus_tpu.symmetry import (ReflectionSymmetry,
                                                TranslationSymmetry)
     from lanczosplusplus_tpu.solver import lanczos as lz
+
+    if "--projected" in sys.argv:
+        i = sys.argv.index("--projected")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 18
+        projected_flagship(n)
+        return
 
     if "--kitaev" in sys.argv:
         i = sys.argv.index("--kitaev")
