@@ -645,7 +645,14 @@ def main():
     # reshape-transpose on the identity basis, so every sector solve
     # runs at factored-matvec speed with zero gathers ------------------
     sym = {}
-    if platform != "cpu" and not os.environ.get("LPP_BENCH_SKIP_SYM"):
+    if platform != "cpu" and probe_tf and probe_tf[-1] < 5.0:
+        # a degraded window would stretch this section ~25-50x and
+        # blow the inner budget (killing the WHOLE bench JSON); skip
+        # loudly instead — the probe trace records why
+        sym = {"sym_skipped_degraded_probe_tf": probe_tf[-1]}
+        print(f"bench: skipping symmetry section (probe "
+              f"{probe_tf[-1]} TF/s)", file=sys.stderr)
+    elif platform != "cpu" and not os.environ.get("LPP_BENCH_SKIP_SYM"):
         try:
             from lanczosplusplus_tpu.symmetry.projected import \
                 ProjectedTranslationSolver
