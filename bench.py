@@ -786,7 +786,19 @@ IsPeriodicX=1
     # -- on-chip correctness: production observable pipelines at the
     # chip dtype vs CPU-f64 goldens (VERDICT r3 item 3) ---------------
     correctness = {}
-    if not os.environ.get("LPP_BENCH_SKIP_CORRECTNESS"):
+    if platform != "cpu":
+        probe_tf.append(_probe())
+    if (platform != "cpu" and probe_tf and probe_tf[-1] < 1.0
+            and not os.environ.get("LPP_BENCH_FORCE_CORRECTNESS")):
+        # deep degradation stretches the 48400-dim chip solve from
+        # ~48 s to ~20+ min and would blow the inner budget; the
+        # accuracy fields are dtype properties, not timings, so skip
+        # only in the extreme case and record why
+        correctness = {"onchip_correctness_skipped_probe_tf":
+                       probe_tf[-1]}
+        print(f"bench: skipping correctness section (probe "
+              f"{probe_tf[-1]} TF/s)", file=sys.stderr)
+    elif not os.environ.get("LPP_BENCH_SKIP_CORRECTNESS"):
         try:
             import importlib.util
             path = os.path.join(os.path.dirname(os.path.abspath(
